@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count-style action (foreach noop) so
+the measured time includes the whole plan, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from cdc_stream_batch_etl_spark import registry
+from cdc_stream_batch_etl_spark.session import get_spark
+
+# Headline set: widened as operators land. Keep this representative, not
+# exhaustive — the full inventory runs in the correctness gate.
+HEADLINE: list[str] = [
+    "customer_segments",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else float("nan")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    spark = get_spark(app="bench")
+    # warm the JVM + parquet footers once, outside the timed region
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Table catalog over the driver testdata parquet directories.
+
+Stands in for the reference's Postgres scans (utils.py:43-50 `execute_query`)
+— SURVEY.md §2.1 S1. The FIXTURES.md §3 mapping (e-commerce → TPC-H-ish):
+customers→customer, orders→orders, order_items→lineitem, products→part,
+CDC stream→events.
+
+Scale notes: `spark.read.parquet` gives Catalyst filter pushdown + column
+pruning for free; at 100 TB the same call points at a partitioned table
+(partition pruning) — nothing here hand-materializes or collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import pin_session_for_correctness
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    pin_session_for_correctness(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for the SQL API."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,46 @@
+"""Query/operator registry — the single source of truth for the driver
+contract (`__spark_entry__.queries()` / `oracle_sql()`) and the test suite.
+
+Each operator module registers:
+  - a callable ``(spark, sf_dir) -> DataFrame`` (Spark-first implementation)
+  - optionally, the equivalent ANSI SQL for the DuckDB oracle.
+
+Column names must match between the two — the driver sorts columns by name
+before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+QUERIES: dict[str, Callable[..., Any]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registration side-effects run."""
+    from . import operators  # noqa: F401
+    from .operators import (  # noqa: F401
+        segments,
+        products,
+        orders,
+        cdc,
+        windows,
+        anomalies,
+        geo,
+        filters,
+    )
+    from .dedup import exact, minhash, simhash, ngram  # noqa: F401
+    from .text import analysis  # noqa: F401
+    from .similarity import ann  # noqa: F401
