@@ -21,6 +21,12 @@ from cdc_stream_batch_etl_spark.session import get_spark
 # exhaustive — the full inventory runs in the correctness gate.
 HEADLINE: list[str] = [
     "customer_segments",
+    "product_insights",
+    "order_analytics",
+    "pricing_summary",
+    "latest_state",
+    "user_activity",
+    "alerts_summary",
 ]
 
 

@@ -34,7 +34,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     pin_session_for_correctness(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects; with the nanosAsLong pin (session.py) it surfaces as
+        # nanos-since-epoch LongType. Truncate to micros with integer
+        # division (exact — double division loses µs at 1e18 magnitudes),
+        # matching DuckDB's ns→µs truncation.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -39,16 +39,22 @@ class Thresholds:
 
     # stream_processor.py:36,103 `total_amount > 1000` — o_totalprice p80 ~ 4e5
     high_value_order: float = 400_000.0
+    # same alert on the events stream (events.value spans 0..~490)
+    high_value_event: float = 300.0
     # cdc_processor.py:164 / batch_processor.py:170-173 stock<10 — p_size is 1..50
     low_stock: int = 10
     overstock: int = 45  # batch_processor.py:173 `>=500` rescaled to p_size domain
-    # stream_processor.py:37,264 `orders/min > 10` — events run ~0.23/min/type
-    bulk_orders_per_min: int = 5
-    # stream_processor.py:38,207 `>50 units / 5 min`
-    velocity_5min: float = 500.0
-    # stream_processor.py:283-287: one state > 80% of >= 6 customers
-    geo_concentration_ratio: float = 0.8
-    geo_min_customers: int = 6
+    # stream_processor.py:37,264 `orders/min > 10` — events run ~2.3/5min at
+    # sf0.01 (p99=5, max=7), so the bulk window is 5 min with threshold >5
+    bulk_events_per_window: int = 5
+    # stream_processor.py:38,207 `>50 units / 5 min` — per-product purchase
+    # sums land ~170 median / 960 max per 7-day window at sf0.01
+    velocity_window_sum: float = 400.0
+    # stream_processor.py:283-287: one state > 80% of >= 6 customers —
+    # 25 nations make 80% dominance vanishingly rare (daily dominance peaks
+    # ~0.20 at sf0.01); rescaled to >15% of >=5
+    geo_concentration_ratio: float = 0.15
+    geo_min_customers: int = 5
     # airflow_etl_utils.py:130-132: drop orders with total < 10.0
     small_order: float = 10_000.0
 

@@ -64,5 +64,9 @@ def pin_session_for_correctness(spark: SparkSession) -> None:
 
     UTC matters because ``to_date(timestamp)`` / ``datediff`` are
     session-timezone-dependent in Spark while the DuckDB oracle is tz-naive.
+    The nanos pin lets the events table (TIMESTAMP(NANOS) parquet, which
+    Spark otherwise refuses to read) surface as LongType; catalog.load_table
+    converts it back to a microsecond timestamp.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
