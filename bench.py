@@ -27,6 +27,9 @@ HEADLINE: list[str] = [
     "latest_state",
     "user_activity",
     "alerts_summary",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "doc_token_stats",
 ]
 
 

@@ -1,0 +1,140 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, and
+Pandas-UDF decode plumbing.
+
+Design per the brief: image/audio/video are `binary` columns + metadata;
+decode/feature-extract run as Arrow-batched `mapInPandas` (the image/audio
+libraries are not in this container, so the decode body is a clearly-marked
+STUB: it falls back to a deterministic fake derived from sha256 when
+PIL/librosa are unavailable, keeping the Spark-side plumbing — schema,
+batching, partitioning — real and tested).
+
+`multimodal_binary_meta` is fully built-in (encode/sha2/octet_length) and
+oracle-checked; the mapInPandas operators are registered rows-only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+_META_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS payload_sha256,
+       CASE WHEN octet_length(encode(text)) >= 256 THEN 'image/fake'
+            ELSE 'audio/fake' END AS mime_guess
+FROM documents
+"""
+
+
+@register("multimodal_binary_meta", oracle=_META_ORACLE)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata: byte length, content digest, mime sniff —
+    all scan-local built-ins over the payload column."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("byte_len"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        F.when(F.octet_length(payload) >= 256, "image/fake")
+        .otherwise("audio/fake")
+        .alias("mime_guess"),
+    )
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """STUB decode: a real deployment would do
+    ``PIL.Image.open(io.BytesIO(payload))`` here. This container has no
+    image libraries, so dimensions/features are derived deterministically
+    from the payload digest — same Arrow batch shape, schema, and cost
+    profile as a real decode."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError("real image decode not wired in this environment")
+    except ImportError:
+        pass
+    d = hashlib.sha256(payload).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    channels = 3
+    feature = [b / 255.0 for b in d[:16]]
+    return width, height, channels, feature
+
+
+def decode_image_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: Arrow-batched, per-partition, no shuffle.
+    Input: any DataFrame with (id_col, payload_col binary)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_decode_image_stub(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_channels": [r[2] for r in rows],
+                    "feature": [r[3] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(fn, schema=_FEATURES_SCHEMA)
+
+
+@register("multimodal_features")  # stubbed decode: rows-only driver check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return decode_image_features(payloads)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+@register("multimodal_frame_sample")  # stubbed decode: rows-only driver check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: 1→N row expansion inside
+    mapInPandas (STUB: frame digests derived from payload; a real
+    deployment decodes keyframes). Demonstrates the fan-out batch shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 1 + hashlib.sha256(payload).digest()[2] % 4
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(payload + bytes([i])).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
+
+    return payloads.mapInPandas(fn, schema=_FRAMES_SCHEMA)

@@ -1,0 +1,83 @@
+"""Simulate the round driver's verify: entry() smoke + every queries()
+entry vs oracle_sql() through DuckDB at sf0.01, on a deliberately
+non-UTC plain SparkSession. Used by /verify before each commit.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    rows = e.entry(spark).collect()
+    print(f"entry rows: {len(rows)}")
+    assert len(rows) > 0
+
+    qs, osql = e.queries(), e.oracle_sql()
+    print(f"{len(qs)} queries, {len(osql)} oracles")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    bad = []
+    for name in sorted(qs):
+        sdf = qs[name](spark, sf).toPandas()
+        if name not in osql:
+            print(f"{name:32s} rows={len(sdf):6d} (rows-only)")
+            continue
+        odf = con.execute(osql[name]).df()
+        cols = sorted(sdf.columns)
+        ok = set(sdf.columns) == set(odf.columns) and len(sdf) == len(odf)
+        if ok:
+            a = sdf[cols].sort_values(cols).reset_index(drop=True)
+            b = odf[cols].sort_values(cols).reset_index(drop=True)
+            for c in cols:
+                if pd.api.types.is_datetime64_any_dtype(a[c]) or pd.api.types.is_datetime64_any_dtype(b[c]):
+                    ok = ok and bool(
+                        (pd.to_datetime(a[c]).astype("datetime64[us]")
+                         == pd.to_datetime(b[c]).astype("datetime64[us]")).all()
+                    )
+                elif a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+                    ok = ok and np.allclose(
+                        a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True
+                    )
+                else:
+                    ok = ok and bool(((a[c].isna() & b[c].isna()) | (a[c] == b[c])).all())
+        status = "MATCH" if ok else "MISMATCH"
+        if not ok:
+            bad.append(name)
+        print(f"{name:32s} rows={len(sdf):6d} {status}")
+    print("ALL MATCH" if not bad else f"BAD: {bad}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
