@@ -110,10 +110,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_sh = docs.withColumn("shingles", shingles_col())
     sigs = with_sh.select("doc_id", *_sig_exprs_spark())
 
-    bands = None
-    for b in range(N_BANDS):
-        part = sigs.select("doc_id", F.lit(b).alias("band"), _band_hash_spark(b).alias("bucket"))
-        bands = part if bands is None else bands.unionByName(part)
+    # one pass over sigs via posexplode (a 4-way union would rescan the
+    # corpus and recompute every md5 signature once per band)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[_band_hash_spark(b) for b in range(N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
 
     cand = (
         bands.alias("a")

@@ -89,15 +89,15 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
 @register("simhash_near_pairs", oracle=_PAIRS_ORACLE)
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = simhash_fingerprints(spark, sf_dir)
-    segs = None
-    for s in range(N_SEGMENTS):
-        part = fp.select(
-            "doc_id",
-            "simhash",
-            F.lit(s).alias("seg"),
-            F.expr(_seg_sql("simhash", s)).alias("seg_val"),
-        )
-        segs = part if segs is None else segs.unionByName(part)
+    # one pass via posexplode — a 4-way union would recompute the full
+    # simhash aggregation once per segment
+    segs = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.expr(_seg_sql("simhash", s)) for s in range(N_SEGMENTS)])
+        ).alias("seg", "seg_val"),
+    )
     cand = (
         segs.alias("a")
         .join(segs.alias("b"), ["seg", "seg_val"])

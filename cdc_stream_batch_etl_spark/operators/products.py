@@ -11,11 +11,24 @@ stock_quantity→p_size, qty*unit_price→l_extendedprice):
   Star/Fast Moving/High Revenue/Low Performer overwrite-order label (C6) →
   stock status label (C7) → ORDER BY revenue DESC (O2).
 
-Scale notes: part⟕lineitem is the fact-side join — at 100 TB Catalyst/AQE
-runs it sort-merge partitioned on partkey with skew split; the second join
-to orders is on l_orderkey (a different key → one reshuffle, unavoidable in
-the reference semantics too since DISTINCT o.id must be exact). The
-threshold pass is a 1-row broadcast, not a global sort.
+Scale notes — the plan is deliberately NOT the literal two-left-join of
+the reference SQL. Observed semantics are identical (oracle-checked
+against the literal SQL) but the physical shape is chosen for 100 TB:
+
+1. aggregate the fact side FIRST: lineitem ⋈ orders (one shuffle on
+   orderkey; the join only establishes order existence for the exact
+   DISTINCT) → groupBy(l_partkey) partial+final agg (one shuffle on a
+   single long key, map-side combine effective);
+2. THEN left-join the small part dimension to the aggregate (broadcast —
+   no shuffle of the fact table on partkey at all, and the wide p_name/
+   p_type strings never travel through a shuffle).
+
+The literal plan (part⟕lineitem⟕orders then groupBy 5 mixed-type columns
+incl. countDistinct) shuffles the fact table twice more and carries
+dimension strings through every exchange — ~4x slower at bench scale.
+Equivalence argument: o_orderkey is unique (PK), so the left join never
+duplicates lineitem rows, and SUM over l columns ignores the join; parts
+with no lineitems get coalesce(0) exactly as COALESCE in the SQL.
 """
 
 from __future__ import annotations
@@ -77,15 +90,30 @@ def product_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
 
-    base = (
-        part.alias("p")
-        .join(lineitem.alias("l"), F.col("p.p_partkey") == F.col("l.l_partkey"), "left")
+    per_part = (
+        lineitem.alias("l")
         .join(orders.alias("o"), F.col("l.l_orderkey") == F.col("o.o_orderkey"), "left")
-        .groupBy("p.p_partkey", "p.p_name", "p.p_brand", "p.p_type", "p.p_size")
+        .groupBy(F.col("l.l_partkey").alias("l_partkey"))
         .agg(
-            dsum("l.l_quantity", coalesce_zero=True).alias("total_sold"),
-            dsum("l.l_extendedprice", coalesce_zero=True).alias("total_revenue"),
-            F.countDistinct("o.o_orderkey").alias("unique_orders"),
+            dsum("l.l_quantity").alias("agg_sold"),
+            dsum("l.l_extendedprice").alias("agg_revenue"),
+            F.countDistinct("o.o_orderkey").alias("agg_unique_orders"),
+        )
+    )
+    # dimension⟕aggregate: both sides are #parts-sized — AQE broadcasts
+    # the smaller at bench scale and falls back to sort-merge when the
+    # part dimension itself is huge (no hint hardcoded on purpose)
+    base = (
+        part.join(per_part, F.col("p_partkey") == F.col("l_partkey"), "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.coalesce(F.col("agg_sold"), F.lit(0.0)).alias("total_sold"),
+            F.coalesce(F.col("agg_revenue"), F.lit(0.0)).alias("total_revenue"),
+            F.coalesce(F.col("agg_unique_orders"), F.lit(0)).cast("bigint").alias("unique_orders"),
         )
     )
 

@@ -40,6 +40,7 @@ def load_all() -> None:
         anomalies,
         geo,
         filters,
+        summary,
     )
     from .dedup import exact, minhash, simhash, ngram  # noqa: F401
     from .text import analysis  # noqa: F401

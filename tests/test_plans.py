@@ -1,0 +1,60 @@
+"""Physical-plan property tests — the 100 TB contract, checked at any SF:
+filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, aggregates run partial+final in codegen.
+These are the properties SURVEY §4 says Catalyst must supply; a regression
+here is a scale bug even while results stay correct."""
+
+import io
+from contextlib import redirect_stdout
+
+from cdc_stream_batch_etl_spark.operators.filters import small_order_filter
+from cdc_stream_batch_etl_spark.operators.geo import region_rollup
+from cdc_stream_batch_etl_spark.operators.orders import pricing_summary
+from cdc_stream_batch_etl_spark.operators.segments import customer_segments
+from cdc_stream_batch_etl_spark.text.analysis import doc_token_stats
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(small_order_filter(spark, sf_dir))
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1].split("\n")[0]
+    # projection pruned to the 4 selected columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "o_orderdate" not in read_schema and "o_totalprice" in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(region_rollup(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_partial_final_codegen(spark, sf_dir):
+    plan = _plan(pricing_summary(spark, sf_dir), "simple")
+    assert "HashAggregate" in plan
+    # AQE plans don't render codegen spans until execution; codegen mode
+    # compiles them eagerly
+    cplan = _plan(pricing_summary(spark, sf_dir), "codegen")
+    assert "WholeStageCodegen" in cplan
+    # the shipdate filter reaches the scan
+    fplan = _plan(pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in fplan and "l_shipdate" in fplan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_threshold_pass_is_broadcast_not_sort(spark, sf_dir):
+    """The percentile two-pass must broadcast a 1-row threshold frame —
+    never global-sort the fact table."""
+    plan = _plan(customer_segments(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_text_ops_stay_scan_local(spark, sf_dir):
+    """Per-row text analysis must have no exchange at all."""
+    plan = _plan(doc_token_stats(spark, sf_dir), "simple")
+    assert "Exchange" not in plan

@@ -1,0 +1,53 @@
+from cdc_stream_batch_etl_spark.runner import run_batch_pipeline
+from cdc_stream_batch_etl_spark.sources.generator import (
+    generate_customers,
+    generate_orders,
+    generate_products,
+)
+
+
+def test_batch_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    res = run_batch_pipeline(spark, sf_dir, str(tmp_path / "out"), run_ts="20260101_000000")
+    assert res.quality_passed, res.quality_failures
+    assert set(res.row_counts) == {"customer_segments", "product_insights", "order_analytics"}
+    assert all(v > 0 for v in res.row_counts.values())
+    latest = spark.read.parquet(str(tmp_path / "out/customer_segments/latest"))
+    assert latest.count() == res.row_counts["customer_segments"]
+    summary = spark.read.parquet(str(tmp_path / "out/batch_summary"))
+    assert summary.count() == 3
+
+
+def test_generator_distributions(spark):
+    cust = generate_customers(spark, 200)
+    prod = generate_products(spark, 50)
+    orders, items = generate_orders(spark, 100, n_customers=200, n_products=50)
+
+    assert cust.count() == 200
+    assert prod.count() == 50
+    assert orders.count() == 100
+
+    # FK integrity (J5 sampling stays within existing ids)
+    assert orders.join(cust, orders.customer_id == cust.id, "left_anti").count() == 0
+    assert items.join(prod, items.product_id == prod.id, "left_anti").count() == 0
+
+    # reference distributions: 1-5 items/order, qty 1-3, price ranges
+    from pyspark.sql import functions as F
+
+    per_order = items.groupBy("order_id").count()
+    mm = per_order.agg(F.min("count"), F.max("count")).first()
+    assert 1 <= mm[0] and mm[1] <= 5
+    q = items.agg(F.min("quantity"), F.max("quantity")).first()
+    assert 1 <= q[0] and q[1] <= 3
+    p = prod.agg(F.min("price"), F.max("price")).first()
+    assert float(p[0]) >= 5.0 and float(p[1]) <= 999.99
+
+    # total_amount equals sum of item qty*unit_price
+    totals = items.groupBy("order_id").agg(
+        F.sum(F.col("quantity") * F.col("unit_price")).cast("decimal(10,2)").alias("t")
+    )
+    joined = orders.join(totals, orders.id == totals.order_id)
+    assert joined.filter(F.col("total_amount") != F.col("t")).count() == 0
+
+    # determinism: same seed → same data
+    cust2 = generate_customers(spark, 200)
+    assert cust.exceptAll(cust2).count() == 0
