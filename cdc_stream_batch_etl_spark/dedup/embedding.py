@@ -1,0 +1,137 @@
+"""Embedding-cosine near-duplicate detection over the embeddings table.
+
+Completes the dedup family (exact / prefix / n-gram / MinHash / SimHash /
+embedding-cosine): pairs of vectors whose cosine similarity crosses a
+threshold.
+
+Two paths, both DuckDB-oracled (the oracle mirrors the SAME deterministic
+computation, so even the approximate path hash-matches):
+
+- ``embed_near_dup_pairs`` — exact threshold self-join: the correctness
+  baseline. O(N²) dot products; fine for a bounded re-rank set, NOT the
+  100 TB path.
+- ``embed_near_dup_lsh`` — sign-random-projection bucketing (shared
+  hyperplane family with similarity.ann): vectors only compare within the
+  same 8-bit hyperplane signature bucket or a radius-1 probe, then exact
+  cosine verification of candidates. Candidate volume ~9/256 of the full
+  cross product; the bucket join shuffles on a 1-byte key. This is the
+  plan that survives 100× scale — the exact variant exists to measure its
+  recall (tests/test_similarity.py).
+
+Threshold note: the synthetic embeddings are isotropic (max pairwise
+cosine ≈ 0.51 at sf0.01), so the threshold is 0.40 to exercise the
+operator; a real near-dup corpus would use ~0.95, where hyperplane LSH
+recall is far higher (bit-agreement p = 1 - θ/π ≈ 0.90 per plane).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..similarity.ann import N_PLANES, _dot, _hyperplanes, _signature
+
+COSINE_THRESHOLD = 0.40
+
+_COS = (
+    "list_dot_product(a.emb, b.emb) / "
+    "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+)
+
+_EXACT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS}, 6) AS cos_sim_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS} >= {COSINE_THRESHOLD}
+"""
+
+
+@register("embed_near_dup_pairs", oracle=_EXACT_ORACLE)
+def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-threshold pairs (quadratic correctness baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot("a.emb", "b.emb") / (
+        F.sqrt(_dot("a.emb", "a.emb")) * F.sqrt(_dot("b.emb", "b.emb"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos_sim", 6).alias("cos_sim_r"),
+        )
+    )
+
+
+_PLANE_ARRS = ["[" + ",".join(f"{v}" for v in row) + "]" for row in _hyperplanes()]
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(emb, {arr}) > 0 THEN {1 << p} ELSE 0 END)"
+    for p, arr in enumerate(_PLANE_ARRS)
+)
+
+_LSH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), sigged AS (
+  SELECT vec_id, emb, CAST({_SIG_SQL} AS INTEGER) AS sig FROM e
+), probes AS (
+  SELECT vec_id, emb, xor(sig, flip) AS sig
+  FROM sigged, (SELECT unnest([0{"".join(f", {1 << b}" for b in range(N_PLANES))}]) AS flip)
+), cand AS (
+  SELECT DISTINCT p.vec_id AS va, s.vec_id AS vb
+  FROM probes p JOIN sigged s ON p.sig = s.sig AND p.vec_id < s.vec_id
+)
+SELECT c.va AS vec_a, c.vb AS vec_b, round({_COS}, 6) AS cos_sim_r
+FROM cand c
+JOIN e a ON a.vec_id = c.va
+JOIN e b ON b.vec_id = c.vb
+WHERE {_COS} >= {COSINE_THRESHOLD}
+"""
+
+
+@register("embed_near_dup_lsh", oracle=_LSH_ORACLE)
+def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed near-dup pairs: radius-1 signature probing +
+    exact cosine verification of candidates only (the 100 TB plan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("sig", _signature("emb"))
+
+    probes = base.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(F.col("sig"), *[F.expr(f"int(sig ^ {1 << b})") for b in range(N_PLANES)])
+        ).alias("sig"),
+    )
+    cand = (
+        probes.alias("p")
+        .join(base.alias("s"), "sig")
+        .filter(F.col("p.vec_id") < F.col("s.vec_id"))
+        .select(F.col("p.vec_id").alias("va"), F.col("s.vec_id").alias("vb"))
+        .distinct()
+    )
+    e = base.select("vec_id", "emb")
+    cos = _dot("a.emb", "b.emb") / (
+        F.sqrt(_dot("a.emb", "a.emb")) * F.sqrt(_dot("b.emb", "b.emb"))
+    )
+    return (
+        cand.join(e.alias("a"), F.col("va") == F.col("a.vec_id"))
+        .join(e.alias("b"), F.col("vb") == F.col("b.vec_id"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.round("cos_sim", 6).alias("cos_sim_r"),
+        )
+    )

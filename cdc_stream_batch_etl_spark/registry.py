@@ -42,7 +42,7 @@ def load_all() -> None:
         filters,
         summary,
     )
-    from .dedup import exact, minhash, simhash, ngram  # noqa: F401
+    from .dedup import exact, minhash, simhash, ngram, embedding  # noqa: F401
     from .text import analysis  # noqa: F401
     from .similarity import ann  # noqa: F401
     from .multimodal import binaryops  # noqa: F401

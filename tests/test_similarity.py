@@ -49,3 +49,24 @@ def test_multimodal_frames_fanout(spark, sf_dir):
     df = multimodal_frame_sample(spark, sf_dir)
     agg = df.groupBy("doc_id").count().collect()
     assert all(1 <= r["count"] <= 4 for r in agg)
+
+
+def test_embed_near_dup_lsh_recall(spark, sf_dir):
+    """Embedding near-dup: the LSH path must recover a meaningful share of
+    the exact-threshold pairs while examining only ~(N_PLANES+1)/2^N_PLANES
+    of the cross product. Subset relation must hold exactly (LSH verifies
+    candidates with the same exact cosine)."""
+    from cdc_stream_batch_etl_spark.dedup.embedding import (
+        embed_near_dup_lsh,
+        embed_near_dup_pairs,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in embed_near_dup_pairs(spark, sf_dir).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in embed_near_dup_lsh(spark, sf_dir).collect()}
+    assert approx <= exact, "LSH produced a pair the exact join rejects"
+    assert exact, "test corpus produced no near-dup pairs at the threshold"
+    recall = len(approx) / len(exact)
+    from cdc_stream_batch_etl_spark.similarity.ann import N_PLANES
+
+    frac = (N_PLANES + 1) / (1 << N_PLANES)
+    assert recall > frac, f"no better than random sampling: {recall:.2f} <= {frac:.2f}"
