@@ -88,9 +88,14 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
 
 @register("simhash_near_pairs", oracle=_PAIRS_ORACLE)
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = simhash_fingerprints(spark, sf_dir)
-    # one pass via posexplode — a 4-way union would recompute the full
-    # simhash aggregation once per segment
+    # persist the tiny (doc_id, simhash) table: the segment self-join
+    # references it twice, and without the persist the 3-shuffle
+    # fingerprint aggregation runs twice over the corpus. (A fully
+    # scan-local fingerprint via nested higher-order functions was
+    # measured 12x SLOWER — HOFs are interpreted, not codegen'd — so the
+    # relational spelling + persist is the winning shape.)
+    fp = simhash_fingerprints(spark, sf_dir).persist()
+    # one pass via posexplode — a 4-way union would rescan fp per segment
     segs = fp.select(
         "doc_id",
         "simhash",
