@@ -55,3 +55,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for the SQL API."""
     for n in TABLES:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    sort_key: str | None = None,
+) -> None:
+    """Materialize a table bucketed (and optionally sorted) by its join
+    key — the 100 TB co-located-join path.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with NO shuffle of either side (SortMergeJoin over pre-hashed files;
+    with matching sort keys the per-bucket sort is also skipped), and a
+    groupBy on the bucket key aggregates shuffle-free. This is the Spark
+    analog of the reference's FK B-tree indexes (sql/init.sql:53-57,
+    SURVEY §4): pay the partitioning cost once at write, amortize it over
+    every downstream join/agg. Asserted in tests/test_bucketing.py.
+
+    n_buckets sizing at scale: target ≤ ~1 GB per bucket per partition
+    file; at 100 TB that means thousands of buckets — the number must
+    match on both sides of a co-located join, so fix it per key domain
+    (e.g. all orderkey-bucketed tables share one constant).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table_name)
