@@ -84,3 +84,89 @@ def bulk_alerts_stream(events: DataFrame) -> DataFrame:
         .withColumn("severity", alert_severity(F.col("alert_type")))
         .select(F.col("w.start").alias("window_start"), "event_count", "alert_type", "severity")
     )
+
+
+def velocity_alerts_stream(events: DataFrame) -> DataFrame:
+    """W8: rapid-depletion alerts — thresholded per-product windowed sums
+    (stream_processor.py:205-212). Emits per finalized window in append
+    mode; the watermark bounds state exactly where the reference used a
+    300 s Redis TTL."""
+    src = events.withWatermark("ts", WATERMARK) if events.isStreaming else events
+    return (
+        src.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("product_k"),
+            F.window("ts", "5 minutes").alias("w"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .filter(F.col("total_value") > _T.velocity_window_sum)
+        .withColumn("alert_type", F.lit("rapid_stock_depletion"))
+        .withColumn("severity", alert_severity(F.col("alert_type")))
+        .select("product_k", F.col("w.start").alias("window_start"), "total_value",
+                "alert_type", "severity")
+    )
+
+
+def geo_concentration_stream(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """W9: geographic-concentration alerts as a stream-static join (J4):
+    the signup stream broadcast-joins the static customer/nation dims —
+    the stream side never shuffles for enrichment — then a windowed
+    deterministic argmax (A22: lexicographic max of (count, name)) with
+    ratio + floor guards (stream_processor.py:271-290)."""
+    src = events.withWatermark("ts", WATERMARK) if events.isStreaming else events
+    counts = (
+        src.filter(F.col("event_type") == "signup")
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # second (chained) streaming aggregation: the downstream groupBy MUST
+    # re-window via window(window_time(w), ...) — grouping on the raw
+    # window struct makes the second agg non-time-windowed and it emits
+    # unsealed partials (observed: per-micro-batch day fragments)
+    per_window = counts.groupBy(
+        F.window(F.window_time("w"), "1 day").alias("w")
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("total_signups"),
+        F.max(F.struct(F.col("cnt"), F.col("n_name").alias("name"))).alias("top"),
+    )
+    ratio = F.col("top.cnt").cast("double") / F.col("total_signups")
+    return (
+        per_window.filter(
+            (F.col("total_signups") >= _T.geo_min_customers)
+            & (ratio > _T.geo_concentration_ratio)
+        )
+        .withColumn("alert_type", F.lit("geographic_concentration"))
+        .withColumn("severity", alert_severity(F.col("alert_type")))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("top.name").alias("dominant_nation"),
+            F.col("top.cnt").alias("nation_signups"),
+            "total_signups",
+            (ratio * 100).alias("concentration_pct"),
+            "alert_type",
+            "severity",
+        )
+    )
+
+
+def alerts_stream(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """S3/S6: the four alert families normalized to one keyed payload
+    stream — the shape sources/kafka.alert_sink produces to the
+    `realtime-alerts` topic (stream_processor.py:292-311)."""
+    families = [
+        high_value_alerts_stream(events),
+        bulk_alerts_stream(events),
+        velocity_alerts_stream(events),
+        geo_concentration_stream(events, customer, nation),
+    ]
+    unioned = None
+    for fam in families:
+        norm = fam.select(
+            "alert_type",
+            "severity",
+            F.to_json(F.struct(*fam.columns)).alias("payload"),
+        )
+        unioned = norm if unioned is None else unioned.unionByName(norm)
+    return unioned
