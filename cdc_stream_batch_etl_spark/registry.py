@@ -44,5 +44,5 @@ def load_all() -> None:
     )
     from .dedup import exact, minhash, simhash, ngram, embedding  # noqa: F401
     from .text import analysis  # noqa: F401
-    from .similarity import ann  # noqa: F401
+    from .similarity import ann, ivf  # noqa: F401
     from .multimodal import binaryops  # noqa: F401

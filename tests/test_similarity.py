@@ -70,3 +70,22 @@ def test_embed_near_dup_lsh_recall(spark, sf_dir):
 
     frac = (N_PLANES + 1) / (1 << N_PLANES)
     assert recall > frac, f"no better than random sampling: {recall:.2f} <= {frac:.2f}"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF must beat the corpus fraction it scans (~NPROBE/n_centroids)
+    while agreeing with the exact ranking inside probed cells."""
+    from cdc_stream_batch_etl_spark.similarity.ivf import (
+        CENTROID_STRIDE,
+        NPROBE,
+        ann_ivf_topk,
+    )
+    from cdc_stream_batch_etl_spark.catalog import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    n_centroids = max(1, n // CENTROID_STRIDE)
+    exact = {(r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, sf_dir).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    frac = min(1.0, NPROBE / n_centroids)
+    assert recall > frac, f"IVF no better than random cell scan: {recall:.2f} <= {frac:.2f}"
