@@ -88,7 +88,12 @@ def run_batch_pipeline(
     for name, fn in BATCH_QUERIES.items():
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}/run_ts={run_ts}")
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}/latest")
+        # `latest` is a straight copy of the materialized run output — a
+        # column-for-column parquet rewrite, NOT a second execution of the
+        # query (the reference writes the same payload to both keys too,
+        # batch_processor.py:186-191)
+        run_out = spark.read.parquet(f"{out_dir}/{name}/run_ts={run_ts}")
+        run_out.write.mode("overwrite").parquet(f"{out_dir}/{name}/latest")
         out = spark.read.parquet(f"{out_dir}/{name}/latest")
         result.row_counts[name] = out.count()
         result.quality_failures.extend(quality_gate(name, out))
