@@ -99,6 +99,11 @@ def product_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l.l_extendedprice").alias("agg_revenue"),
             F.countDistinct("o.o_orderkey").alias("agg_unique_orders"),
         )
+        # #parts rows × 4 narrow columns; the two-pass (thresholds then
+        # labels) references it twice — persisting THIS (and not the wide
+        # post-dimension-join frame, which measured slower) makes the
+        # lineitem⋈orders aggregation run once
+        .persist()
     )
     # dimension⟕aggregate: both sides are #parts-sized — AQE broadcasts
     # the smaller at bench scale and falls back to sort-merge when the

@@ -84,6 +84,9 @@ def customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o.o_totalprice", coalesce_zero=True).alias("total_spent"),
             F.max("o.o_orderdate").alias("last_order_date"),
         )
+        # #customers rows, narrow; referenced by the threshold pass and
+        # the labeling pass — persist so the orders join+agg runs once
+        .persist()
     )
 
     thresholds = base.agg(
