@@ -33,7 +33,10 @@ HEADLINE: list[str] = [
     "user_activity",
     "alerts_summary",
     "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "embed_near_dup_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "doc_token_stats",
 ]
 

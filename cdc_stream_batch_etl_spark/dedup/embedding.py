@@ -52,13 +52,17 @@ WHERE {_COS} >= {COSINE_THRESHOLD}
 
 @register("embed_near_dup_pairs", oracle=_EXACT_ORACLE)
 def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine-threshold pairs (quadratic correctness baseline)."""
+    """Exact cosine-threshold pairs (quadratic correctness baseline).
+
+    Norms are precomputed per VECTOR (O(N) higher-order-function work)
+    so the O(N²) pair stage pays one dot product, not three — HOF
+    expressions are interpreted per element and dominate this plan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
     a, b = e.alias("a"), e.alias("b")
-    cos = _dot("a.emb", "b.emb") / (
-        F.sqrt(_dot("a.emb", "a.emb")) * F.sqrt(_dot("b.emb", "b.emb"))
-    )
+    cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cos_sim", cos)
@@ -102,9 +106,11 @@ def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-bucketed near-dup pairs: radius-1 signature probing +
     exact cosine verification of candidates only (the 100 TB plan)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("sig", _signature("emb"))
+    base = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("sig", _signature("emb"))
+        .withColumn("nrm", F.sqrt(_dot("emb", "emb")))
+    )
 
     probes = base.select(
         "vec_id",
@@ -120,10 +126,8 @@ def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.vec_id").alias("va"), F.col("s.vec_id").alias("vb"))
         .distinct()
     )
-    e = base.select("vec_id", "emb")
-    cos = _dot("a.emb", "b.emb") / (
-        F.sqrt(_dot("a.emb", "a.emb")) * F.sqrt(_dot("b.emb", "b.emb"))
-    )
+    e = base.select("vec_id", "emb", "nrm")
+    cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         cand.join(e.alias("a"), F.col("va") == F.col("a.vec_id"))
         .join(e.alias("b"), F.col("vb") == F.col("b.vec_id"))

@@ -60,21 +60,25 @@ def _dot(a: str, b: str) -> F.Column:
 @register("ann_cosine_topk", oracle=_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qe")
+    # norms precomputed per vector: the O(Q×N) pair stage pays ONE
+    # interpreted higher-order dot, not three
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+        )
+        .withColumn("qnrm", F.sqrt(_dot("qe", "qe")))
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         "label",
         F.col("embedding").cast("array<double>").alias("ce"),
-    )
+    ).withColumn("cnrm", F.sqrt(_dot("ce", "ce")))
     sims = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim",
-            _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))),
-        )
+        .withColumn("cos_sim", _dot("qe", "ce") / (F.col("qnrm") * F.col("cnrm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -124,17 +128,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or differ in exactly one bit — probe radius 1), exact cosine re-rank
     within candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("sig", _signature("e"))
+    base = (
+        emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("sig", _signature("e"))
+        .withColumn("nrm", F.sqrt(_dot("e", "e")))
+    )
 
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("sig").alias("qsig")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("sig").alias("qsig"),
+        F.col("nrm").alias("qnrm"),
     )
     # probe set: exact signature plus radius-1 neighbors (9 sigs per query)
     probes = q.select(
         "query_id",
         "qe",
+        "qnrm",
         F.explode(
             F.array(
                 F.col("qsig"), *[F.expr(f"int(qsig ^ {1 << b})") for b in range(N_PLANES)]
@@ -142,9 +152,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sig"),
     )
     cand = probes.join(base, "sig").filter(F.col("query_id") != F.col("vec_id"))
-    sims = cand.withColumn(
-        "cos_sim", _dot("qe", "e") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("e", "e")))
-    )
+    sims = cand.withColumn("cos_sim", _dot("qe", "e") / (F.col("qnrm") * F.col("nrm")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

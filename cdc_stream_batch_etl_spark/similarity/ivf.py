@@ -85,7 +85,9 @@ FROM ranked WHERE rank <= {TOP_K}
 @register("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
     cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
@@ -95,13 +97,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("d", _dot("emb", "cemb"))
-        .groupBy("vec_id", "label", "emb")
+        .groupBy("vec_id", "label", "emb", "nrm")
         .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))
-        .select("vec_id", "label", "emb", F.col("top.cid").alias("cell"))
+        .select("vec_id", "label", "emb", "nrm", F.col("top.cid").alias("cell"))
     )
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.desc(F.col("d")), F.asc(F.col("cid"))
@@ -111,14 +115,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d", _dot("qe", "cemb"))
         .withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= NPROBE)
-        .select("query_id", "qe", F.col("cid").alias("cell"))
+        .select("query_id", "qe", "qnrm", F.col("cid").alias("cell"))
     )
 
     cand = probes.join(assign, "cell").filter(F.col("query_id") != F.col("vec_id"))
-    sims = cand.withColumn(
-        "cos_sim",
-        _dot("qe", "emb") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("emb", "emb"))),
-    )
+    sims = cand.withColumn("cos_sim", _dot("qe", "emb") / (F.col("qnrm") * F.col("nrm")))
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         sims.withColumn("rank", F.row_number().over(wr))
