@@ -109,6 +109,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(payloads)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized_sha256", T.StringType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+RESIZE_TARGET = (224, 224)  # the usual vision-model input square
+
+
+@register("multimodal_resize")  # stubbed decode: rows-only driver check
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (STUB: a real deployment decodes, resizes to
+    RESIZE_TARGET with PIL, re-encodes; here the resized payload is a
+    deterministic digest-derived fake of plausible size). Shape matters:
+    binary-in → binary-metadata-out, 1:1, Arrow-batched, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    tw, th = RESIZE_TARGET
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shas, sizes = [], []
+            for payload in pdf["payload"]:
+                d = hashlib.sha256(b"resize|" + payload).digest()
+                shas.append(d.hex())
+                # fake re-encoded size: bounded by the target raster
+                sizes.append(1000 + int.from_bytes(d[:4], "big") % (tw * th * 3 // 10))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "target_w": tw,
+                    "target_h": th,
+                    "resized_sha256": shas,
+                    "resized_bytes": sizes,
+                }
+            )
+
+    return payloads.mapInPandas(fn, schema=_RESIZE_SCHEMA)
+
+
 _FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

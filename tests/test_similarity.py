@@ -89,3 +89,17 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     frac = min(1.0, NPROBE / n_centroids)
     assert recall > frac, f"IVF no better than random cell scan: {recall:.2f} <= {frac:.2f}"
+
+
+def test_multimodal_resize_shape(spark, sf_dir):
+    from cdc_stream_batch_etl_spark.multimodal.binaryops import (
+        RESIZE_TARGET,
+        multimodal_resize,
+    )
+
+    df = multimodal_resize(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.target_w == RESIZE_TARGET[0] and r.target_h == RESIZE_TARGET[1] for r in rows[:20])
+    assert all(len(r.resized_sha256) == 64 and r.resized_bytes > 0 for r in rows[:20])
+    assert rows[:5] == multimodal_resize(spark, sf_dir).collect()[:5]  # deterministic
