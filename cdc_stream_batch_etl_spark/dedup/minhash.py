@@ -106,11 +106,14 @@ def _band_hash_sql(b: int) -> str:
     return f"md5(concat_ws(',', {', '.join(parts)}))"
 
 
-_PAIRS_ORACLE = f"""
+def pairs_oracle_sql(source: str = "documents") -> str:
+    """The LSH-pairs oracle over any (doc_id, text) relation — reused by
+    the composed clean-corpus pipeline with a filtered source CTE."""
+    return f"""
 WITH sh AS (
   SELECT doc_id, {shingles_sql()} AS shingles
-  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-), sigs AS ({_SIG_ORACLE}),
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {source})
+), sigs AS ({_SIG_ORACLE.replace("FROM documents", f"FROM {source}")}),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bucket FROM sigs" for b in range(N_BANDS))}
 ), cand AS (
@@ -130,9 +133,11 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 
-@register("minhash_lsh_pairs", oracle=_PAIRS_ORACLE)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+_PAIRS_ORACLE = pairs_oracle_sql()
+
+
+def lsh_pairs(docs: DataFrame) -> DataFrame:
+    """LSH near-dup pairs over any (doc_id, text) DataFrame."""
     with_sh = _with_hashed_shingles(docs)
     sigs = with_sh.select("doc_id", *_sig_exprs_spark())
 
@@ -170,3 +175,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@register("minhash_lsh_pairs", oracle=_PAIRS_ORACLE)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_pairs(load_table(spark, sf_dir, "documents"))

@@ -43,6 +43,6 @@ def load_all() -> None:
         summary,
     )
     from .dedup import exact, minhash, simhash, ngram, embedding  # noqa: F401
-    from .text import analysis  # noqa: F401
+    from .text import analysis, corpus  # noqa: F401
     from .similarity import ann, ivf  # noqa: F401
     from .multimodal import binaryops  # noqa: F401

@@ -1,0 +1,32 @@
+"""clean_corpus invariants: gates and dedups actually hold on the output."""
+
+from pyspark.sql import functions as F
+
+from cdc_stream_batch_etl_spark.catalog import load_table
+from cdc_stream_batch_etl_spark.dedup.minhash import lsh_pairs
+from cdc_stream_batch_etl_spark.text.corpus import MIN_TOKENS, clean_corpus
+
+
+def test_clean_corpus_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = clean_corpus(spark, sf_dir)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept, "empty cleaned corpus"
+    assert len(kept) < docs.count(), "nothing was filtered"
+
+    # token gate holds
+    assert out.filter(F.col("n_tokens") < MIN_TOKENS).count() == 0
+
+    # exact dedup holds: no two survivors share normalized content
+    survivors = docs.filter(F.col("doc_id").isin(list(kept)))
+    dup_groups = (
+        survivors.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_groups == 0
+
+    # near-dup prune holds: no LSH-verified pair survives intact
+    remaining_pairs = lsh_pairs(survivors.select("doc_id", "text")).count()
+    assert remaining_pairs == 0
