@@ -94,17 +94,22 @@ def _merge_latest(state_path: str):
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("pk", "op", "ts_ms", "payload_json")
+            # epoch id persists into state so cross-batch ts_ms ties break
+            # deterministically toward the later arrival (the reference's
+            # last-write-wins Redis SET); within-batch ties already broke
+            # by seq above
+            .withColumn("batch_seq", F.lit(batch_id).cast("long"))
         )
         try:
             current = spark.read.parquet(state_path)
             merged_src = current.unionByName(latest_in_batch)
         except Exception:  # first batch: no state yet
             merged_src = latest_in_batch
-        w2 = Window.partitionBy("pk").orderBy(F.desc("ts_ms"))
+        w2 = Window.partitionBy("pk").orderBy(F.desc("ts_ms"), F.desc("batch_seq"))
         new_state = (
             merged_src.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") == 1)
-            .select("pk", "op", "ts_ms", "payload_json")
+            .select("pk", "op", "ts_ms", "payload_json", "batch_seq")
         )
         # break lineage from the files about to be replaced (distributed
         # materialization — no driver-side collect)
