@@ -38,6 +38,7 @@ HEADLINE: list[str] = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "doc_token_stats",
+    "clean_corpus",
 ]
 
 

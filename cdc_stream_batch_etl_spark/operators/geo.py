@@ -129,3 +129,32 @@ def bitwise_region_filter(spark: SparkSession, sf_dir: str, mask: int = REGION_M
         )
         .filter((F.col("region_bit").bitwiseAND(F.lit(mask))) > 0)
     )
+
+
+_SUPPLIER_ROLLUP_ORACLE = """
+SELECT n.n_name,
+       count(*) AS supplier_count,
+       CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+       (max(struct_pack(a := s.s_acctbal, n := s.s_name))).n AS top_supplier
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+@register("supplier_rollup", oracle=_SUPPLIER_ROLLUP_ORACLE)
+def supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier rollup (J1-shape dim join + A13-shape counts +
+    A22 deterministic argmax: max acctbal, name as tiebreak). Nation is a
+    25-row broadcast; one hash-agg shuffle on n_name."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("supplier_count"),
+            dsum("s_acctbal").alias("total_acctbal"),
+            F.max(F.struct(F.col("s_acctbal").alias("a"), F.col("s_name").alias("n")))["n"]
+            .alias("top_supplier"),
+        )
+    )
