@@ -41,8 +41,10 @@ def load_all() -> None:
         geo,
         filters,
         summary,
+        asof,
+        sessions,
     )
-    from .dedup import exact, minhash, simhash, ngram, embedding  # noqa: F401
-    from .text import analysis, corpus  # noqa: F401
+    from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
+    from .text import analysis, corpus, sampling, scrub, ngrams  # noqa: F401
     from .similarity import ann, ivf  # noqa: F401
     from .multimodal import binaryops  # noqa: F401

@@ -1,0 +1,94 @@
+"""Deterministic corpus splitting and sampling for training pipelines.
+
+Beyond-reference operators. A training-data pipeline needs (a) a stable
+train/val/test assignment that never changes as the corpus grows or is
+re-partitioned, and (b) per-stratum downsampling (e.g. re-balance an
+English-heavy crawl). Both must be *content-addressed* — a function of the
+row's key only — so re-runs, backfills, and cluster re-shuffles cannot
+move a document across splits (the classic train/test-contamination bug
+with ``rand()``-based splits; Spark's ``randomSplit`` is additionally
+partition-order-dependent, so it is wrong twice at 100 TB).
+
+Mechanism: bucket = first 60 bits of md5(doc_id) mod 100 — identical
+arithmetic in Spark (``conv(substr(md5(..),1,15),16,10)``) and DuckDB
+(``CAST('0x'||substr(..) AS BIGINT)``), fully scan-local (no shuffle, no
+state, embarrassingly parallel), and stable under any row ordering.
+
+Reference tie-in: the generator's ORDER BY RANDOM() LIMIT 1 sampling
+(data_generator.py:157,166 — SURVEY.md O4) is the non-deterministic
+ancestor; random_pick covers that shape, these operators are its
+production-grade replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test gets the remainder
+
+# per-language keep-rate (percent) for the stratified rebalance
+RATES = {"en": 20, "de": 60, "fr": 60, "es": 60}
+_DEFAULT_RATE = 100
+
+
+def _bucket_spark(key: F.Column) -> F.Column:
+    """60-bit md5 prefix of the key, mod 100 — the stable split bucket."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("bigint") % 100
+
+
+def _bucket_sql(key: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       {_bucket_sql("doc_id")} AS bucket,
+       CASE WHEN {_bucket_sql("doc_id")} < {TRAIN_PCT} THEN 'train'
+            WHEN {_bucket_sql("doc_id")} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("train_test_split", oracle=_SPLIT_ORACLE)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_spark(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_rate_cases = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in RATES.items())
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_bucket_sql("doc_id")} < (CASE {_rate_cases} ELSE {_DEFAULT_RATE} END)
+"""
+
+
+@register("stratified_sample", oracle=_SAMPLE_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing downsample: keep RATES[lang]% of each stratum,
+    content-addressed (same bucket function as the split, so sampling is
+    reproducible row-by-row across runs and engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in RATES.items()],
+        F.lit(_DEFAULT_RATE),
+    )
+    return docs.filter(_bucket_spark(F.col("doc_id")) < rate).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -60,10 +60,9 @@ def main() -> int:
             b = odf[cols].sort_values(cols).reset_index(drop=True)
             for c in cols:
                 if pd.api.types.is_datetime64_any_dtype(a[c]) or pd.api.types.is_datetime64_any_dtype(b[c]):
-                    ok = ok and bool(
-                        (pd.to_datetime(a[c]).astype("datetime64[us]")
-                         == pd.to_datetime(b[c]).astype("datetime64[us]")).all()
-                    )
+                    av = pd.to_datetime(a[c]).astype("datetime64[us]")
+                    bv = pd.to_datetime(b[c]).astype("datetime64[us]")
+                    ok = ok and bool(((av.isna() & bv.isna()) | (av == bv)).all())
                 elif a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
                     ok = ok and np.allclose(
                         a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True
