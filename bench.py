@@ -39,6 +39,11 @@ HEADLINE: list[str] = [
     "ann_ivf_topk",
     "doc_token_stats",
     "clean_corpus",
+    "asof_purchase_attribution",
+    "user_sessions",
+    "scd2_history",
+    "corpus_bigrams",
+    "dedup_components",
 ]
 
 

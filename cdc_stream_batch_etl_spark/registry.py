@@ -43,8 +43,9 @@ def load_all() -> None:
         summary,
         asof,
         sessions,
+        scd,
     )
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
-    from .text import analysis, corpus, sampling, scrub, ngrams  # noqa: F401
-    from .similarity import ann, ivf  # noqa: F401
+    from .text import analysis, corpus, sampling, scrub, ngrams, repetition  # noqa: F401
+    from .similarity import ann, ivf, centroids  # noqa: F401
     from .multimodal import binaryops  # noqa: F401
