@@ -66,8 +66,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     nodes: one column ``id``; edges: ``src``/``dst`` (any orientation).
     Returns (id, label) with label = min id of the component.
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # materialize the (tiny) symmetrized edge list once — every round
+    # joins against it, and without this the full upstream pipeline that
+    # produced the pairs (LSH candidate gen + verification) would re-run
+    # per iteration
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()
     )
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
     for _ in range(MAX_ITER):

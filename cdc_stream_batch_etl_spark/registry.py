@@ -44,8 +44,18 @@ def load_all() -> None:
         asof,
         sessions,
         scd,
+        binning,
     )
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
-    from .text import analysis, corpus, sampling, scrub, ngrams, repetition  # noqa: F401
+    from .text import (  # noqa: F401
+        analysis,
+        corpus,
+        sampling,
+        scrub,
+        ngrams,
+        repetition,
+        tfidf,
+        contamination,
+    )
     from .similarity import ann, ivf, centroids  # noqa: F401
     from .multimodal import binaryops  # noqa: F401

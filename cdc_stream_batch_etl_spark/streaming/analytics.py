@@ -45,6 +45,34 @@ def minute_metrics_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sessions_stream(
+    events: DataFrame, gap: str = "4 hours", watermark: str = WATERMARK
+) -> DataFrame:
+    """Gap-based user sessions on the live stream — the streaming dual of
+    operators/sessions.py (same ``session_window`` call, so batch and
+    stream agree row-for-row on closed sessions; asserted in
+    tests/test_streaming.py). State per (user, open session) is merged by
+    the session-window operator and evicted once the watermark passes the
+    session end — the deque/TTL replacement pattern (SURVEY §2.9 W3).
+
+    Events older than the watermark do NOT merge into existing sessions
+    (they open their own, later dropped/finalized inconsistently), so the
+    watermark must exceed the source's real out-of-orderness — parity
+    tests that replay unordered historical files pass an oversized one.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
 def velocity_stream(events: DataFrame) -> DataFrame:
     """W4: per-product 5-minute velocity (product id = props.k)."""
     src = events.withWatermark("ts", WATERMARK) if events.isStreaming else events

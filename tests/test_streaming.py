@@ -112,6 +112,44 @@ def test_cdc_stats_stream(spark, cdc_fixture):
     }
 
 
+def test_streaming_sessions_match_batch(spark, tmp_path, sf_dir):
+    """Stream/batch parity for session windows: the same sessions_stream
+    builder over file micro-batches equals the registered batch
+    user_sessions query — including sessions whose events span multiple
+    micro-batch files (session-window state merge)."""
+    from cdc_stream_batch_etl_spark import registry
+    from cdc_stream_batch_etl_spark.streaming.analytics import sessions_stream
+
+    registry.load_all()
+    batch_result = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in registry.QUERIES["user_sessions"](spark, sf_dir).collect()
+    }
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sess_src")
+    events.repartition(4).write.parquet(src)
+    stream_src = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        # replayed files are not time-ordered → watermark wider than the
+        # 30-day event span so no event is "late" (see builder docstring)
+        sessions_stream(stream_src, watermark="40 days")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_parity_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_result = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_parity_out").collect()
+    }
+    assert stream_result == batch_result
+
+
 def test_streaming_minute_metrics_match_batch(spark, tmp_path, sf_dir):
     """Stream/batch parity: the same builder over a file stream (complete
     mode) must equal its batch run — micro-batching is an execution
