@@ -44,6 +44,7 @@ HEADLINE: list[str] = [
     "scd2_history",
     "corpus_bigrams",
     "dedup_components",
+    "top_parts_per_brand",
 ]
 
 

@@ -45,6 +45,7 @@ def load_all() -> None:
         sessions,
         scd,
         binning,
+        ranking,
     )
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
     from .text import (  # noqa: F401

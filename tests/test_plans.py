@@ -58,3 +58,27 @@ def test_text_ops_stay_scan_local(spark, sf_dir):
     """Per-row text analysis must have no exchange at all."""
     plan = _plan(doc_token_stats(spark, sf_dir), "simple")
     assert "Exchange" not in plan
+
+
+def test_window_rank_reduces_fact_before_ranking(spark, sf_dir):
+    """top_parts_per_brand must aggregate lineitem to one row per part
+    BEFORE the Window sort, and prune the lineitem scan to the join key +
+    revenue column — the rank sort input is |parts|, never |lineitem|."""
+    from cdc_stream_batch_etl_spark.operators.ranking import top_parts_per_brand
+
+    plan = _plan(top_parts_per_brand(spark, sf_dir), "simple")
+    assert "Window" in plan and "HashAggregate" in plan
+    fplan = _plan(top_parts_per_brand(spark, sf_dir))
+    for scan_schema in [s.split("\n")[0] for s in fplan.split("ReadSchema")[1:]]:
+        assert "l_quantity" not in scan_schema and "l_shipdate" not in scan_schema
+
+
+def test_running_windows_share_one_exchange(spark, sf_dir):
+    """Both windows in customer_spend_running (running sum + row_number)
+    share one partitionBy/orderBy, so Catalyst must plan ONE Window node
+    over ONE hash exchange on o_custkey — never a global sort."""
+    from cdc_stream_batch_etl_spark.operators.ranking import customer_spend_running
+
+    plan = _plan(customer_spend_running(spark, sf_dir), "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1 and "SinglePartition" not in plan
