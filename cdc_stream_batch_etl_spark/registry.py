@@ -46,6 +46,7 @@ def load_all() -> None:
         scd,
         binning,
         ranking,
+        relational,
     )
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
     from .text import (  # noqa: F401
