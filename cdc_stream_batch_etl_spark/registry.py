@@ -47,6 +47,7 @@ def load_all() -> None:
         binning,
         ranking,
         relational,
+        setops,
     )
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
     from .text import (  # noqa: F401
