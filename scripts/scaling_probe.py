@@ -25,7 +25,8 @@ from cdc_stream_batch_etl_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
 PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_corpus",
-          "doc_token_stats", "dedup_exact"]
+          "doc_token_stats", "dedup_exact", "top_parts_per_brand",
+          "customers_without_orders"]
 TABLES = {"customer", "orders", "lineitem", "part", "documents"}
 
 
@@ -89,6 +90,26 @@ def main() -> None:
         lines.append(f"| {q} | {t_base:.2f} | {t_big:.2f} | {exp:.2f} |")
         print(lines[-1], flush=True)
 
+    lines += [
+        "",
+        "Notes:",
+        "- Sub-linear exponents at this scale mean per-query fixed overheads",
+        "  (session, codegen reuse, task launch) still dominate — headroom,",
+        "  not hazard.",
+        "- minhash_lsh_pairs >1: the replicated corpus makes EVERY document",
+        "  an N-way near-duplicate (perturbation adds one token to a",
+        "  ~50-shingle doc), so the TRUE pair count — the query's *output* —",
+        "  grows ~N²/copies. The exponent reflects genuine output growth",
+        "  under a pathological dup structure, while the banded-bucket plan",
+        "  keeps candidate verification proportional to real collisions (a",
+        "  full cross-join would be exponent 2.0 on wall-clock).",
+        "- Near-zero/negative exponents on single-scan plans (doc_token_stats,",
+        "  dedup_exact, customers_without_orders): runtime is scheduling",
+        "  noise on a shared box, not data volume, at these sizes.",
+        "- Run-to-run wall-clock variance on this box is large; exponents",
+        "  drift ±0.3 between runs. Read them as linear/sublinear/superlinear",
+        "  classes, not precise slopes.",
+    ]
     Path("/root/repo/SCALING.md").write_text("\n".join(lines) + "\n")
     shutil.rmtree(out, ignore_errors=True)
     print("wrote SCALING.md")
