@@ -59,6 +59,7 @@ def load_all() -> None:
         repetition,
         tfidf,
         contamination,
+        lengthdist,
     )
     from .similarity import ann, ivf, centroids  # noqa: F401
     from .multimodal import binaryops  # noqa: F401
