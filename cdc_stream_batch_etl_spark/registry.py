@@ -29,7 +29,29 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every operator module so registration side-effects run."""
+    """Import every operator module so registration side-effects run.
+
+    Registration order is deliberate: the driver's correctness harness
+    iterates ``queries()`` in dict (= registration) order and round 1 only
+    reached the first ~50 entries, so the training-data-pipeline families
+    (dedup / text / similarity / multimodal) — which lacked driver rows in
+    round 1 — register FIRST, followed by the reference-parity operators
+    (all of which already have green CORRECTNESS_r01 rows).
+    """
+    from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
+    from .text import (  # noqa: F401
+        analysis,
+        corpus,
+        sampling,
+        scrub,
+        ngrams,
+        repetition,
+        tfidf,
+        contamination,
+        lengthdist,
+    )
+    from .similarity import ann, ivf, centroids  # noqa: F401
+    from .multimodal import binaryops  # noqa: F401
     from . import operators  # noqa: F401
     from .operators import (  # noqa: F401
         segments,
@@ -49,17 +71,3 @@ def load_all() -> None:
         relational,
         setops,
     )
-    from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
-    from .text import (  # noqa: F401
-        analysis,
-        corpus,
-        sampling,
-        scrub,
-        ngrams,
-        repetition,
-        tfidf,
-        contamination,
-        lengthdist,
-    )
-    from .similarity import ann, ivf, centroids  # noqa: F401
-    from .multimodal import binaryops  # noqa: F401
