@@ -16,9 +16,16 @@ Scale notes:
 - one md5 per shingle (not one per shingle×seed): the 16 signature slots
   are integer affine mixes of the same hash — 16× less hashing on the
   corpus scan, pure codegen arithmetic after.
-- the per-doc signature/band table (4 rows × ~50 bytes per doc) is
-  persisted before the bucket self-join so the corpus is scanned exactly
-  once; at cluster scale this table is ~10^-4 of corpus bytes.
+- candidate generation is ONE ``groupBy(band, bucket)`` shuffle of the
+  tiny band table (4 rows × ~50 bytes per doc) followed by in-bucket pair
+  explosion — no band-table self-join, no ``persist()`` (nothing cached,
+  nothing to leak). Pair explosion is bounded by the bucket cap below.
+- MAX_BUCKET caps bucket size (standard production LSH): a degenerate
+  bucket (boilerplate/templated corpora hashing identically) would make
+  candidate generation quadratic in that bucket, so buckets larger than
+  MAX_BUCKET are dropped entirely — in both the Spark plan and the DuckDB
+  oracle, keeping the comparison hash-exact. ``lsh_bucket_stats`` reports
+  the dropped mass so the cap is observable, not silent.
 - verification joins the SMALL candidate set back to the doc shingle
   arrays (AQE broadcasts the candidate side) and computes Jaccard
   scan-local via array_intersect/array_union — no corpus-wide shingle
@@ -43,6 +50,11 @@ from .ngram import JACCARD_THRESHOLD
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+# Buckets larger than this are dropped from candidate generation (both in
+# Spark and in the oracle). 64 is far above any honest near-dup cluster at
+# sf0.1 (nothing is dropped on the test corpora) while bounding the
+# worst-case per-bucket pair count at C(64,2)=2016 on adversarial corpora.
+MAX_BUCKET = 64
 _P = (1 << 31) - 1  # Mersenne prime; a*(h%P)+b stays under 2^62 (no overflow)
 
 _rng = random.Random(42)
@@ -108,7 +120,10 @@ def _band_hash_sql(b: int) -> str:
 
 def pairs_oracle_sql(source: str = "documents") -> str:
     """The LSH-pairs oracle over any (doc_id, text) relation — reused by
-    the composed clean-corpus pipeline with a filtered source CTE."""
+    the composed clean-corpus pipeline with a filtered source CTE.
+
+    Mirrors the Spark plan's MAX_BUCKET cap: buckets larger than
+    MAX_BUCKET contribute no candidates on either side."""
     return f"""
 WITH sh AS (
   SELECT doc_id, {shingles_sql()} AS shingles
@@ -116,9 +131,17 @@ WITH sh AS (
 ), sigs AS ({_SIG_ORACLE.replace("FROM documents", f"FROM {source}")}),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bucket FROM sigs" for b in range(N_BANDS))}
+), capped AS (
+  SELECT doc_id, band, bucket
+  FROM (
+    SELECT doc_id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM bands
+  )
+  WHERE bsz <= {MAX_BUCKET}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
@@ -136,25 +159,48 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 _PAIRS_ORACLE = pairs_oracle_sql()
 
 
-def lsh_pairs(docs: DataFrame) -> DataFrame:
-    """LSH near-dup pairs over any (doc_id, text) DataFrame."""
-    with_sh = _with_hashed_shingles(docs)
-    sigs = with_sh.select("doc_id", *_sig_exprs_spark())
-
-    # tiny per-doc table (4 rows/doc); persist so the bucket self-join
-    # scans the corpus exactly once
-    bands = sigs.select(
+def _bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — 4 rows per doc, computed scan-local."""
+    sigs = _with_hashed_shingles(docs).select("doc_id", *_sig_exprs_spark())
+    return sigs.select(
         "doc_id",
         F.posexplode(F.array(*[_band_hash_spark(b) for b in range(N_BANDS)])).alias(
             "band", "bucket"
         ),
-    ).persist()
+    )
 
+
+def lsh_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """LSH near-dup pairs over any (doc_id, text) DataFrame.
+
+    Candidate generation is one groupBy(band, bucket) shuffle of the tiny
+    band table followed by in-bucket pair explosion — no self-join, no
+    persist. Buckets larger than ``max_bucket`` are dropped (degenerate-
+    bucket guard; the oracle applies the identical cap), so per-bucket
+    work is bounded at C(max_bucket, 2) pairs regardless of corpus shape.
+    """
+    with_sh = _with_hashed_shingles(docs)
+
+    buckets = (
+        _bands(docs)
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    # ids is sorted, so emitting (ids[i], ids[j]) for j > i gives
+    # doc_a < doc_b directly; arrays are capped, so the HOF runs over at
+    # most max_bucket elements per bucket
     cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -180,3 +226,37 @@ def lsh_pairs(docs: DataFrame) -> DataFrame:
 @register("minhash_lsh_pairs", oracle=_PAIRS_ORACLE)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_STATS_ORACLE = f"""
+WITH sigs AS ({_SIG_ORACLE}),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS bucket FROM sigs" for b in range(N_BANDS))}
+), bsizes AS (
+  SELECT band, bucket, COUNT(*) AS bsz FROM bands GROUP BY band, bucket
+)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(bsz) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bsz > {MAX_BUCKET} THEN bsz ELSE 0 END) AS BIGINT) AS n_docs_dropped,
+       MAX(bsz) AS max_bucket_size
+FROM bsizes
+GROUP BY band
+"""
+
+
+@register("lsh_bucket_stats", oracle=_STATS_ORACLE)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket-size distribution + the doc mass the MAX_BUCKET cap
+    drops — makes the degenerate-bucket guard observable instead of silent
+    (a production LSH must report dropped mass, not swallow it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bsz = _bands(docs).groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    return bsz.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("bsz").alias("n_docs"),
+        F.sum(F.when(F.col("bsz") > MAX_BUCKET, F.col("bsz")).otherwise(F.lit(0))).alias(
+            "n_docs_dropped"
+        ),
+        F.max("bsz").alias("max_bucket_size"),
+    )
