@@ -11,19 +11,24 @@ SQL row for; it is still fully DuckDB-oracled here via a recursive CTE
 (reachability closure → min reachable id), so the driver gets a
 hash-exact check, not a weaker rows-only one.
 
-Spark implementation: label propagation to fixpoint. Every node starts
-labeled with its own id; each round every node takes the min of its label
-and its neighbors' labels. Convergence needs O(component diameter) rounds
-— for near-dup clusters the diameter is tiny (pairs/triangles/short
-chains), so the driver-side loop runs 2-3 rounds in practice; MAX_ITER
-bounds pathological chains, and the loop stops on the first round with no
-label change. Each round is one shuffle (edge⋈label groupBy); lineage is
-truncated per round with localCheckpoint so plans don't grow
-exponentially. At 100 TB-with-long-chains scale the same loop upgrades to
-the alternating large-star/small-star algorithm (O(log n) rounds,
-Kiveris et al., "Connected Components in MapReduce and Beyond") — the
-edge list here is near-dup pairs, ~0.1% of corpus size, so the loop cost
-is dominated by the one LSH pass that produced the pairs.
+Spark implementation — two algorithms behind one API:
+
+- ``algorithm="star"`` (default, the 100 TB path): alternating
+  large-star/small-star contraction (Kiveris et al., "Connected
+  Components in MapReduce and Beyond"). Each round rewires edges toward
+  per-neighborhood minima, so component radii shrink geometrically —
+  convergence in O(log n) rounds regardless of diameter, where min-label
+  propagation needs O(diameter) rounds (a 1M-node chain: ~20 rounds vs
+  ~1M). Each round is two tiny groupBy shuffles over the *edge* list —
+  near-dup pairs, ~0.1% of corpus size — so the loop cost stays dominated
+  by the one LSH pass that produced the pairs.
+- ``algorithm="label"`` (small-graph fast path): min-label propagation to
+  fixpoint, O(diameter) rounds. For near-dup clusters the diameter is
+  tiny (pairs/triangles/short chains), so it converges in 2-3 rounds and
+  skips the edge-reorientation work.
+
+Both truncate lineage per round with localCheckpoint so plans don't grow
+exponentially, and both stop on the first round with no change.
 
 Output: every document with its canonical id and a keep/drop flag —
 singletons are their own canonical.
@@ -60,12 +65,92 @@ GROUP BY node
 """
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Min-label propagation to fixpoint.
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, oriented (small, large), self-loops dropped."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Symmetric neighborhoods; one groupBy shuffle."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nbh = sym.groupBy("src").agg(
+        F.collect_set("dst").alias("nbrs"), F.min("dst").alias("min_nb")
+    )
+    m = F.least(F.col("src"), F.col("min_nb"))
+    return (
+        nbh.select(m.alias("m"), F.col("src").alias("u"), F.explode("nbrs").alias("v"))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("src"), F.col("v").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small; for each node u connect all its smaller
+    neighbors (and u itself) to the neighborhood minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    nbh = oriented.groupBy("u").agg(
+        F.collect_set("v").alias("nbrs"), F.min("v").alias("m")
+    )
+    to_min = nbh.select(
+        F.col("m").alias("src"),
+        F.explode(F.array_union("nbrs", F.array("u"))).alias("dst"),
+    )
+    return to_min
+
+
+def star_contraction(edges: DataFrame, max_iter: int = MAX_ITER):
+    """Alternate large-star/small-star until the edge set is stable.
+
+    Returns ``(star_edges, rounds)`` where star_edges is the converged
+    (src=component min, dst=member) star forest over every non-isolated
+    node. O(log n) rounds (Kiveris et al. thm 3.2); each round is two
+    groupBy shuffles over the edge list only.
+    """
+    cur = _canonical(edges).localCheckpoint()
+    for rounds in range(1, max_iter + 1):
+        nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint()
+        # distinct sets: unchanged iff same count and no new edges
+        if nxt.count() == cur.count() and nxt.subtract(cur).count() == 0:
+            cur = nxt
+            break
+        cur = nxt
+    return cur, rounds
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, algorithm: str = "star"
+) -> DataFrame:
+    """Connected-component labels: (id, label), label = min id of the
+    component.
 
     nodes: one column ``id``; edges: ``src``/``dst`` (any orientation).
-    Returns (id, label) with label = min id of the component.
+    ``algorithm="star"`` is the O(log n)-round scale path;
+    ``algorithm="label"`` is the O(diameter) small-graph fast path.
     """
+    if algorithm == "star":
+        star, _ = star_contraction(edges)
+        # converged star edges are (component_min, member); every
+        # non-isolated node appears as a dst of exactly its root
+        member_lbl = star.groupBy("dst").agg(F.min("src").alias("nb_label"))
+        return nodes.join(
+            member_lbl, nodes["id"] == member_lbl["dst"], "left"
+        ).select(
+            "id",
+            F.least(F.col("id"), F.coalesce(F.col("nb_label"), F.col("id"))).alias(
+                "label"
+            ),
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (use 'star' or 'label')")
     # materialize the (tiny) symmetrized edge list once — every round
     # joins against it, and without this the full upstream pipeline that
     # produced the pairs (LSH candidate gen + verification) would re-run

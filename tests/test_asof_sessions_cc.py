@@ -68,11 +68,51 @@ def test_session_boundary_exact_gap_merges(spark, monkeypatch, sf_dir):
 
 def test_connected_components_transitive_chain(spark):
     """A-B and B-C pairs collapse to one component labeled min(id); the
-    disconnected node keeps itself."""
+    disconnected node keeps itself. Both algorithms agree."""
     nodes = spark.range(1, 5).select(F.col("id"))
     edges = spark.createDataFrame([(2, 3), (3, 1)], "src long, dst long")
-    labels = {r["id"]: r["label"] for r in connected_components(nodes, edges).collect()}
-    assert labels == {1: 1, 2: 1, 3: 1, 4: 4}
+    for algo in ("star", "label"):
+        labels = {
+            r["id"]: r["label"]
+            for r in connected_components(nodes, edges, algorithm=algo).collect()
+        }
+        assert labels == {1: 1, 2: 1, 3: 1, 4: 4}, algo
+
+
+def test_star_contraction_long_chain_olog_rounds(spark):
+    """A 256-node path graph (diameter 255): label propagation would need
+    ~255 rounds; large-star/small-star must converge in O(log n)."""
+    import math
+
+    from cdc_stream_batch_etl_spark.dedup.components import star_contraction
+
+    n = 256
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    star, rounds = star_contraction(edges)
+    assert rounds <= 2 * int(math.log2(n))  # O(log n), not O(diameter)
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_components(nodes, edges, algorithm="star").collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_star_handles_multiple_components_and_reversed_edges(spark):
+    """Mixed orientation, duplicate edges, two components + singleton."""
+    nodes = spark.range(10).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(4, 2), (2, 4), (2, 7), (7, 4), (8, 9), (9, 8), (5, 5)],
+        "src long, dst long",
+    )
+    labels = {
+        r["id"]: r["label"] for r in connected_components(nodes, edges).collect()
+    }
+    expect = {i: i for i in range(10)}
+    expect.update({4: 2, 7: 2, 9: 8})
+    assert labels == expect
 
 
 def test_split_is_content_addressed(spark, sf_dir):
