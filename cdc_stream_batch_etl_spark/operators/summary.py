@@ -28,11 +28,18 @@ GROUP BY 1
 
 
 @register("segment_histogram", oracle=_SEG_HIST_ORACLE)
-def segment_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def segment_histogram(
+    spark: SparkSession, sf_dir: str, source_df: DataFrame | None = None
+) -> DataFrame:
     """A10/A13 + A11: customers per segment with revenue scalars —
     a re-aggregation of the segmentation output, exactly as the reference
-    re-counts its transformed frame (batch_processor.py:211-214)."""
-    seg = customer_segments(spark, sf_dir)
+    re-counts its transformed frame (batch_processor.py:211-214).
+
+    Standalone (driver/oracle) it recomputes ``customer_segments``; pass
+    ``source_df`` (the runner's materialized output) to make it a single
+    scan + one exchange over a 1500-row table instead of re-running the
+    6-scan upstream — at 100× the upstream recompute dominates."""
+    seg = source_df if source_df is not None else customer_segments(spark, sf_dir)
     return seg.groupBy("customer_segment").agg(
         F.count("*").alias("customer_count"),
         F.sum(F.col("total_spent").cast("decimal(18,2)")).cast("double").alias("segment_revenue"),
@@ -51,11 +58,17 @@ GROUP BY 1, 2
 
 
 @register("stock_status_histogram", oracle=_STOCK_HIST_ORACLE)
-def stock_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: value_counts over the product labels (batch_processor.py:220-221)."""
-    return product_insights(spark, sf_dir).groupBy(
-        "stock_status", "performance_category"
-    ).agg(F.count("*").alias("product_count"))
+def stock_status_histogram(
+    spark: SparkSession, sf_dir: str, source_df: DataFrame | None = None
+) -> DataFrame:
+    """A10: value_counts over the product labels (batch_processor.py:220-221).
+
+    ``source_df`` short-circuits the ``product_insights`` recompute (8
+    scans / 2 SMJ) down to one scan of the runner's materialized output."""
+    src = source_df if source_df is not None else product_insights(spark, sf_dir)
+    return src.groupBy("stock_status", "performance_category").agg(
+        F.count("*").alias("product_count")
+    )
 
 
 @register("random_pick")  # seeded RNG is engine-specific: rows-only check

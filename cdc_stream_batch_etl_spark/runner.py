@@ -26,11 +26,21 @@ from .catalog import load_table
 from .operators.orders import order_analytics
 from .operators.products import product_insights
 from .operators.segments import customer_segments
+from .operators.summary import segment_histogram, stock_status_histogram
 
 BATCH_QUERIES = {
     "customer_segments": customer_segments,
     "product_insights": product_insights,
     "order_analytics": order_analytics,
+}
+
+# Summaries re-aggregate a batch output. Standalone they recompute their
+# upstream (honest for the driver's oracle check); inside a run they read
+# the row we just materialized — one scan of a tiny table, not a second
+# execution of the 6-8-scan upstream plan.
+DERIVED_QUERIES = {
+    "segment_histogram": ("customer_segments", segment_histogram),
+    "stock_status_histogram": ("product_insights", stock_status_histogram),
 }
 
 
@@ -94,6 +104,17 @@ def run_batch_pipeline(
         # batch_processor.py:186-191)
         run_out = spark.read.parquet(f"{out_dir}/{name}/run_ts={run_ts}")
         run_out.write.mode("overwrite").parquet(f"{out_dir}/{name}/latest")
+        out = spark.read.parquet(f"{out_dir}/{name}/latest")
+        result.row_counts[name] = out.count()
+        result.quality_failures.extend(quality_gate(name, out))
+
+    for name, (upstream, fn) in DERIVED_QUERIES.items():
+        src = spark.read.parquet(f"{out_dir}/{upstream}/latest")
+        df = fn(spark, sf_dir, source_df=src)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}/run_ts={run_ts}")
+        spark.read.parquet(f"{out_dir}/{name}/run_ts={run_ts}").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}/latest")
         out = spark.read.parquet(f"{out_dir}/{name}/latest")
         result.row_counts[name] = out.count()
         result.quality_failures.extend(quality_gate(name, out))

@@ -9,12 +9,43 @@ from cdc_stream_batch_etl_spark.sources.generator import (
 def test_batch_pipeline_end_to_end(spark, sf_dir, tmp_path):
     res = run_batch_pipeline(spark, sf_dir, str(tmp_path / "out"), run_ts="20260101_000000")
     assert res.quality_passed, res.quality_failures
-    assert set(res.row_counts) == {"customer_segments", "product_insights", "order_analytics"}
+    assert set(res.row_counts) == {
+        "customer_segments",
+        "product_insights",
+        "order_analytics",
+        "segment_histogram",
+        "stock_status_histogram",
+    }
     assert all(v > 0 for v in res.row_counts.values())
     latest = spark.read.parquet(str(tmp_path / "out/customer_segments/latest"))
     assert latest.count() == res.row_counts["customer_segments"]
     summary = spark.read.parquet(str(tmp_path / "out/batch_summary"))
-    assert summary.count() == 3
+    assert summary.count() == 5
+
+
+def test_histogram_from_materialized_source_matches_standalone(spark, sf_dir, tmp_path):
+    """The runner-fed histogram (source_df = materialized upstream) must be
+    value-identical to the standalone recompute, with a 1-scan plan."""
+    from cdc_stream_batch_etl_spark.operators.summary import (
+        segment_histogram,
+        stock_status_histogram,
+    )
+    from cdc_stream_batch_etl_spark.plans.inspect import profile
+
+    run_batch_pipeline(spark, sf_dir, str(tmp_path / "out"), run_ts="20260101_000000")
+
+    for name, fn in (
+        ("customer_segments", segment_histogram),
+        ("product_insights", stock_status_histogram),
+    ):
+        src = spark.read.parquet(str(tmp_path / f"out/{name}/latest"))
+        sourced = fn(spark, sf_dir, source_df=src)
+        standalone = fn(spark, sf_dir)
+        assert sourced.exceptAll(standalone).count() == 0
+        assert standalone.exceptAll(sourced).count() == 0
+        prof = profile(sourced)
+        assert prof.scans == 1
+        assert prof.n_exchanges <= 2
 
 
 def test_generator_distributions(spark):
