@@ -17,9 +17,21 @@ Scale shape: gates are scan-local predicates fused into one pass by
 Catalyst; exact dedup is one digest-keyed shuffle; LSH runs on the gated
 survivor set (smaller corpus, same plan as minhash_lsh_pairs); the final
 prune is a broadcast anti-join against the (tiny) removed-id set.
+
+Survivor materialization: composed over lineage, the survivor set is
+re-derived by every consumer — 12 document scans in the full plan. At
+bench scale recompute is measured-cheaper than caching (persist()
+regressed 19→30 s locally), so the default recomputes; at cluster scale
+re-scanning + re-shingling the corpus ~4× dominates, so
+``materialize_survivors=True`` (or env SPARK_GRAFT_SCALE=1) truncates
+lineage at the exact-dedup survivor set with localCheckpoint — every
+downstream consumer then reads the materialized partitions instead of
+re-deriving them from parquet.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +41,10 @@ from ..dedup.minhash import lsh_pairs, pairs_oracle_sql
 from ..registry import register
 
 MIN_TOKENS = 20
+
+
+def _scale_mode_default() -> bool:
+    return os.environ.get("SPARK_GRAFT_SCALE", "") == "1"
 
 _ORACLE = f"""
 WITH gated AS (
@@ -59,7 +75,11 @@ WHERE r.doc_b IS NULL
 
 
 @register("clean_corpus", oracle=_ORACLE)
-def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clean_corpus(
+    spark: SparkSession, sf_dir: str, materialize_survivors: bool | None = None
+) -> DataFrame:
+    if materialize_survivors is None:
+        materialize_survivors = _scale_mode_default()
     docs = load_table(spark, sf_dir, "documents")
 
     n_tokens = F.size(F.split(F.col("text"), " "))
@@ -79,6 +99,11 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = gated.join(keep, gated["doc_id"] == keep["keep_id"]).select(
         "doc_id", "text", "lang", "n_tokens"
     )
+    if materialize_survivors:
+        # truncate lineage: lsh_pairs consumes the survivors twice
+        # (banding + verification) and the final anti-join a third time —
+        # without this each consumer re-scans + re-gates the corpus
+        exact = exact.localCheckpoint()
 
     removed = lsh_pairs(exact.select("doc_id", "text")).select("doc_b").distinct()
     return exact.join(

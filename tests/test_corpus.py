@@ -30,3 +30,18 @@ def test_clean_corpus_invariants(spark, sf_dir):
     # near-dup prune holds: no LSH-verified pair survives intact
     remaining_pairs = lsh_pairs(survivors.select("doc_id", "text")).count()
     assert remaining_pairs == 0
+
+
+def test_clean_corpus_scale_mode_identical_and_fewer_scans(spark, sf_dir):
+    """materialize_survivors=True (the 100 TB flag) must be value-identical
+    to the default recompute path, with the corpus scan count collapsed."""
+    from cdc_stream_batch_etl_spark.plans.inspect import profile
+
+    default = clean_corpus(spark, sf_dir)
+    scale = clean_corpus(spark, sf_dir, materialize_survivors=True)
+    assert scale.exceptAll(default).count() == 0
+    assert default.exceptAll(scale).count() == 0
+
+    p_default, p_scale = profile(default), profile(scale)
+    assert p_scale.scans <= 6  # survivors checkpointed, consumers reuse
+    assert p_scale.scans < p_default.scans
