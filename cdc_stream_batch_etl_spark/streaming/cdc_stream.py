@@ -63,14 +63,40 @@ def revenue_stream(changes: DataFrame) -> DataFrame:
     )
 
 
+# State is hash-partitioned on pk into this many bucket directories; a
+# micro-batch rewrites ONLY the buckets its keys land in. Size so one
+# bucket ≲ executor memory at the target state volume (100 TB state /
+# 4096 buckets ≈ 25 GB; local tests use the small default).
+N_STATE_BUCKETS = 16
+
+
+def _bucket_of(pk_col):
+    return F.pmod(F.hash(pk_col), F.lit(N_STATE_BUCKETS)).alias("bucket")
+
+
+def _state_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe via the Hadoop FS API — a transient READ
+    error must fail the batch (checkpoint replay retries it), never be
+    mistaken for 'first batch' and wipe accumulated state."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def _merge_latest(state_path: str):
     """foreachBatch body: latest-wins upsert + delete against a parquet
-    state table (W10, cdc_processor.py:72-100).
+    state table hash-bucketed on pk (W10, cdc_processor.py:72-100).
 
     Per micro-batch: (1) dedup batch to newest event per pk by
     (ts_ms, batch monotonic id) — resolves c→u→d sequences inside one
-    batch (SURVEY §7 hard part); (2) union with current state, keep the
-    newest version per pk; (3) atomically overwrite.
+    batch (SURVEY §7 hard part); (2) read ONLY the bucket partitions the
+    batch touches (partition pruning on the bucket dir), union, keep the
+    newest version per pk; (3) dynamic-partition-overwrite exactly those
+    buckets — untouched bucket files are never rewritten, so per-batch
+    write cost is O(touched state), not O(total state): the parquet
+    equivalent of a keyed MERGE INTO (the reference's Redis SET is O(1)
+    per key; cdc_processor.py:72-100).
 
     Deletes are retained as TOMBSTONES (op='d' rows kept in state, hidden
     by read_latest_state): dropping them would let a late/re-ordered
@@ -78,10 +104,14 @@ def _merge_latest(state_path: str):
     out-of-order hazard. Tombstone GC maps to retention policy
     (partition-drop after the watermark horizon), not merge logic.
 
-    Scale: with Delta/Iceberg this becomes a keyed MERGE INTO (no full
-    rewrite); parquet overwrite keeps v1 dependency-free and the dedup
-    logic — the semantically hard part — identical. State is partitioned
-    by pk hash via the shuffle in the window dedup.
+    Durability: each touched bucket's replace is staged-then-committed by
+    the file commit protocol; a crash inside that window can tear ONE
+    bucket, and checkpoint replay of the same batch repairs every bucket
+    deterministically (the merge is idempotent: latest-wins ordered by
+    (ts_ms, batch_seq) gives the same state when batch N re-runs).
+    Cross-bucket atomicity under arbitrary crashes needs a transactional
+    table format — swap the writer for Delta/Iceberg MERGE INTO at
+    deployment; the merge semantics here are unchanged by that swap.
     """
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -99,28 +129,43 @@ def _merge_latest(state_path: str):
             # last-write-wins Redis SET); within-batch ties already broke
             # by seq above
             .withColumn("batch_seq", F.lit(batch_id).cast("long"))
+            .withColumn("bucket", _bucket_of(F.col("pk")))
         )
-        try:
-            current = spark.read.parquet(state_path)
+        touched = [
+            r["bucket"] for r in latest_in_batch.select("bucket").distinct().collect()
+        ]
+        if not touched:
+            return  # empty batch: nothing to merge, nothing to rewrite
+        if _state_exists(spark, state_path):
+            # partition pruning: only the touched bucket dirs are read
+            current = spark.read.parquet(state_path).filter(F.col("bucket").isin(touched))
             merged_src = current.unionByName(latest_in_batch)
-        except Exception:  # first batch: no state yet
+        else:  # first batch: no state yet
             merged_src = latest_in_batch
         w2 = Window.partitionBy("pk").orderBy(F.desc("ts_ms"), F.desc("batch_seq"))
         new_state = (
             merged_src.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") == 1)
-            .select("pk", "op", "ts_ms", "payload_json", "batch_seq")
+            .select("pk", "op", "ts_ms", "payload_json", "batch_seq", "bucket")
         )
         # break lineage from the files about to be replaced (distributed
-        # materialization — no driver-side collect)
-        new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+        # materialization — no driver-side collect), then replace ONLY the
+        # bucket partitions present in new_state
+        new_state.localCheckpoint(eager=True).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(state_path)
 
     return apply
 
 
 def read_latest_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """The queryable cache view: live rows only (tombstones hidden)."""
-    return spark.read.parquet(state_path).filter(F.col("op") != "d")
+    """The queryable cache view: live rows only (tombstones hidden); the
+    physical bucket column stays internal to the state layout."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col("op") != "d")
+        .select("pk", "op", "ts_ms", "payload_json", "batch_seq")
+    )
 
 
 def latest_state_query(changes: DataFrame, table: str, state_path: str, checkpoint: str):
