@@ -37,8 +37,22 @@ def salted_join(
     replicated once per salt value (explode of a literal range — dim rows
     × n_salts, acceptable because dim ≪ fact). The join key becomes
     (key, salt), so one hot key's rows land on n_salts tasks instead of
-    one. Result is row-identical to the unsalted join.
+    one.
+
+    Row-identical to the unsalted join ONLY for fact-preserving joins:
+    inner/left/left_semi/left_anti. Right/full-outer would emit every
+    unmatched dimension row once per salt replica (and cross would
+    replicate everything), so those are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"(inner/left/left_semi/left_anti), got how={how!r}: the "
+            f"replicated dimension would emit unmatched dim rows "
+            f"{n_salts} times under right/full joins"
+        )
     salted_fact = skewed.withColumn(
         SALT_COL, (F.rand(seed=42) * n_salts).cast("int")
     )

@@ -66,25 +66,41 @@ def _track(
     cnt, total, last_ts, last_amount = (
         state.get if state.exists else (0, 0.0, 0, 0.0)
     )
-    first = True
-    for pdf in pdfs:
-        if first and cnt:
-            # Redis expires at access: if the key sat idle past the TTL,
-            # its state is gone before this write lands. The GroupState
-            # timeout alone can't express this — a timed-out key with new
-            # data in the same micro-batch takes the data path, not the
-            # timeout path — so staleness is re-checked here.
-            batch_min_ts = int((pdf["ts"].astype("int64") // 1_000_000).min())
-            if batch_min_ts - last_ts > ACTIVITY_TTL_MS:
-                cnt, total, last_ts, last_amount = 0, 0.0, 0, 0.0
-        first = False
-        cnt += len(pdf)
-        total += float(pdf["value"].sum())
-        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).max()
-        if ts_ms >= last_ts:
-            newest = pdf.loc[(pdf["ts"].astype("int64") // 1_000_000).idxmax()]
-            last_ts = int(ts_ms)
-            last_amount = float(newest["value"])
+    # Redis expires at access: if the key sat idle past the TTL, its state
+    # is gone before the next write lands. The GroupState timeout alone
+    # can't express this — a timed-out key with new data in the same
+    # micro-batch takes the data path, not the timeout path — so staleness
+    # is re-derived here from the FULL batch in event-time order (Arrow
+    # may split one group across chunks, and chunks are not time-ordered:
+    # a chunk-local check can both miss a reset and reset spuriously).
+    import numpy as np
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ts_all = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+        order = np.argsort(ts_all, kind="stable")
+        ts_sorted = ts_all[order]
+        val_sorted = pdf["value"].to_numpy()[order]
+
+        # access-time sequence: the prior write (if live state) followed by
+        # this batch's events; a >TTL gap anywhere starts a fresh epoch
+        have_prior = cnt > 0
+        access = np.concatenate(([last_ts], ts_sorted)) if have_prior else ts_sorted
+        reset_pts = np.nonzero(np.diff(access) > ACTIVITY_TTL_MS)[0] + 1
+        epoch_start = int(reset_pts[-1]) if reset_pts.size else 0
+        ev_start = max(epoch_start - (1 if have_prior else 0), 0)
+        live_vals = val_sorted[ev_start:]
+        if have_prior and epoch_start == 0:
+            cnt += len(live_vals)
+            total += float(live_vals.sum())
+        else:  # prior state (if any) and pre-gap events expired
+            cnt = len(live_vals)
+            total = float(live_vals.sum())
+        last_ts = int(ts_sorted[-1])
+        # among newest-ts ties, the latest arrival wins (stable sort keeps
+        # arrival order) — the reference's last SET wins
+        last_amount = float(val_sorted[-1])
     state.update((cnt, total, last_ts, last_amount))
     # evict a day after the key's newest event (event-time TTL), clamped
     # ahead of the watermark (a timeout behind it is rejected — keys whose

@@ -22,6 +22,19 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_salted_join_rejects_dim_replicating_how(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    for how in ("right", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(orders, customer, "c_custkey", how=how)
+    # the left-family joins still work
+    anti = salted_join(orders, customer.limit(0), "c_custkey", how="left_anti")
+    assert anti.count() == orders.count()
+
+
 def test_two_phase_agg_matches_plain_agg(spark, sf_dir):
     lineitem = load_table(spark, sf_dir, "lineitem")
     aggs = {

@@ -97,3 +97,25 @@ def test_state_accumulates_and_ttl_evicts(spark, staged_src):
 
     assert (by_key[3].order_count_today, by_key[3].total_value_today) == (1, 7.5)
     assert (by_key[4].order_count_today, by_key[4].total_value_today) == (1, 2.0)
+
+
+def test_in_batch_ttl_gap_resets_even_out_of_order(spark, tmp_path):
+    """A >TTL gap BETWEEN events inside ONE batch must reset the running
+    counters, and the decision must use the batch-wide event-time order —
+    not per-Arrow-chunk arrival order (the events arrive out of order
+    here). Reference semantics: Redis access-time expiry."""
+    src = tmp_path / "src"
+    src.mkdir()
+    # one batch, arrival order scrambled: day-3 event first, then day-0
+    # events. Event-time order is day-0 (two events), >24h gap, day-3.
+    rows = [
+        _ev(9, 3 * 24 * 60, 40.0),
+        _ev(9, 0, 10.0),
+        _ev(9, 1, 20.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(src / "batch_0"))
+    out = _run(spark, str(src), "activity_gap_out")
+    final = max(out, key=lambda r: r.last_order_ts_ms)
+    # only the post-gap event survives in the running counters
+    assert (final.order_count_today, final.total_value_today) == (1, 40.0)
+    assert final.last_order_amount == 40.0
