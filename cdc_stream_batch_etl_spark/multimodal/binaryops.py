@@ -10,6 +10,18 @@ batching, partitioning — real and tested).
 
 `multimodal_binary_meta` is fully built-in (encode/sha2/octet_length) and
 oracle-checked; the mapInPandas operators are registered rows-only.
+
+DRIVER CONTRACT (stub declaration, per VERDICT r1 item 9): PIL/pillow,
+opencv, and librosa are NOT installable in this environment (no pip), so
+`multimodal_features` / `multimodal_resize` / `multimodal_frame_sample`
+ship with the deterministic sha256-derived fake decode below and are
+registered WITHOUT an oracle — the driver's correctness gate records them
+as rows-only BY DESIGN. Everything around the decode body is production
+real and tested: output schemas, Arrow batch shape, mapInPandas
+partitioning (no shuffle), and the per-row cost profile. Wiring a real
+decode is a one-function swap (`_decode_image_stub`), guarded by a
+NotImplementedError that fires the moment PIL appears so the fake can
+never silently masquerade as a real decode.
 """
 
 from __future__ import annotations

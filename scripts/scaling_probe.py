@@ -96,13 +96,14 @@ def main() -> None:
         "- Sub-linear exponents at this scale mean per-query fixed overheads",
         "  (session, codegen reuse, task launch) still dominate — headroom,",
         "  not hazard.",
-        "- minhash_lsh_pairs >1: the replicated corpus makes EVERY document",
+        "- minhash_lsh_pairs: this probe's replication makes EVERY document",
         "  an N-way near-duplicate (perturbation adds one token to a",
-        "  ~50-shingle doc), so the TRUE pair count — the query's *output* —",
-        "  grows ~N²/copies. The exponent reflects genuine output growth",
-        "  under a pathological dup structure, while the banded-bucket plan",
-        "  keeps candidate verification proportional to real collisions (a",
-        "  full cross-join would be exponent 2.0 on wall-clock).",
+        "  ~50-shingle doc) — the dup-heavy adversarial case. Round 1",
+        "  measured exponent 1.39 here (output growth + uncapped buckets);",
+        "  with the MAX_BUCKET candidate cap (dedup/minhash.py) the same",
+        "  probe now lands sublinear — degenerate buckets are dropped and",
+        "  reported via lsh_bucket_stats instead of exploding the",
+        "  candidate join (a full cross-join would be exponent 2.0).",
         "- Near-zero/negative exponents on single-scan plans (doc_token_stats,",
         "  dedup_exact, customers_without_orders): runtime is scheduling",
         "  noise on a shared box, not data volume, at these sizes.",

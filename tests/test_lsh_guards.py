@@ -54,12 +54,14 @@ def test_candidate_count_bounded_by_cap(spark):
 def test_no_cached_rdds_after_lsh(spark, sf_dir):
     # the r1 implementation persisted the band table and never released it;
     # the groupBy-bucket rewrite caches nothing at all.
+    # other tests' localCheckpoints may linger in the shared session, so
+    # the invariant is "LSH adds nothing", not an absolute zero
     spark.catalog.clearCache()
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     minhash_lsh_pairs(spark, sf_dir).count()
     minhash_lsh_pairs(spark, sf_dir).count()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert after == before == 0
+    assert after == before
 
 
 def test_bucket_stats_report_dropped_mass(spark, sf_dir):
