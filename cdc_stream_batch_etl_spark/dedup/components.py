@@ -185,6 +185,45 @@ def connected_components(
     return labels
 
 
+_CLUSTER_STATS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {pairs_oracle_sql("documents")}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.node = e.src
+), labels AS (
+  SELECT node, min(lbl) AS canonical_id FROM walk GROUP BY node
+), sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM labels GROUP BY canonical_id
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
+FROM sizes
+GROUP BY cluster_size
+"""
+
+
+@register("dup_cluster_stats", oracle=_CLUSTER_STATS_ORACLE)
+def dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup decision summary a
+    pipeline reports (how many docs survive, how many drop, how big the
+    worst cluster is). One extra tiny groupBy over dedup_components."""
+    labels = dedup_components(spark, sf_dir)
+    sizes = labels.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count("*")).cast("bigint").alias("n_dropped"),
+    )
+
+
 @register("dedup_components", oracle=_CC_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
