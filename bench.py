@@ -45,6 +45,10 @@ HEADLINE: list[str] = [
     "corpus_bigrams",
     "dedup_components",
     "top_parts_per_brand",
+    "span_dedup_coverage",
+    "doc_chunks",
+    "term_postings",
+    "embedding_quantize",
 ]
 
 

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 from . import hash64_expr, hash64_sql, shingles_col, shingles_sql
 from .ngram import JACCARD_THRESHOLD
@@ -95,7 +96,9 @@ FROM (
 
 
 def _with_hashed_shingles(docs: DataFrame) -> DataFrame:
-    return docs.withColumn("shingles", shingles_col()).withColumn(
+    # fan_out: shingle hashing is the CPU-dominant scan-local step; widen
+    # single-row-group inputs so it parallelizes (no-op on wide scans)
+    return fan_out(docs).withColumn("shingles", shingles_col()).withColumn(
         "hshingles", F.expr(f"transform(shingles, s -> {_H_SPARK})")
     )
 

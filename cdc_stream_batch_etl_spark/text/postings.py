@@ -35,7 +35,7 @@ WITH tok AS (
 SELECT token,
        count(*) AS df,
        CAST(sum(tf) AS BIGINT) AS tf_total,
-       (list(doc_id ORDER BY doc_id))[1:{POSTING_CAP}] AS posting
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{POSTING_CAP}], ',') AS posting
 FROM tf
 GROUP BY token
 """
@@ -60,8 +60,13 @@ def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("df"),
             F.sum("tf").cast("bigint").alias("tf_total"),
-            F.array_sort(
-                F.collect_list(F.when(F.col("rn") <= POSTING_CAP, F.col("doc_id")))
+            # joined to a string (customer_order_sets convention): the
+            # driver value-hashes cells, so oracled outputs stay scalar
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("rn") <= POSTING_CAP, F.col("doc_id")))
+                ),
+                ",",
             ).alias("posting"),
         )
     )

@@ -92,3 +92,41 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(_bucket_spark(F.col("doc_id")) < rate).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# keep documents at or above this quality-score quantile
+QUALITY_QUANTILE = 0.75
+
+_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS score
+  FROM documents
+), thr AS (
+  SELECT quantile_cont(score, {QUALITY_QUANTILE}) AS t FROM scored
+)
+SELECT s.doc_id, s.lang, s.score
+FROM scored s CROSS JOIN thr
+WHERE s.score >= thr.t
+"""
+
+
+@register("quality_topk_sample", oracle=_TOPK_ORACLE)
+def quality_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top (1 - QUALITY_QUANTILE) of documents by quality score
+    (type-token ratio here; any scalar scorer slots in) WITHOUT a global
+    sort: pass 1 reduces to one exact-percentile threshold row, pass 2
+    broadcasts it and filters scan-locally — the selection-by-learned-
+    score step of a data pipeline, in the price_deciles plan shape.
+    Filter-by-threshold (not LIMIT k) keeps ties deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    score = (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("score")
+    scored = docs.select("doc_id", "lang", score)
+    thr = scored.agg(F.percentile(F.col("score"), F.lit(QUALITY_QUANTILE)).alias("t"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") >= F.col("t"))
+        .select("doc_id", "lang", "score")
+    )

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 from ..dedup import hash64_expr, hash64_sql
 
@@ -60,7 +61,7 @@ def _pos_ngrams(docs: DataFrame) -> DataFrame:
         """
     )
     return (
-        docs.select("doc_id", F.split("text", " ").alias("words"))
+        fan_out(docs).select("doc_id", F.split("text", " ").alias("words"))
         .select("doc_id", F.size("words").alias("n_words"), spans.alias("pn"))
         .select("doc_id", "n_words", F.explode("pn").alias("p"))
         .select("doc_id", "n_words", F.col("p.pos").alias("pos"), F.col("p.ngram").alias("ngram"))
@@ -138,7 +139,19 @@ def span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     to drop or trim partially-duplicated documents. Overlapping spans are
     unioned (count DISTINCT positions), so coverage ∈ [0, 1]."""
     docs = load_table(spark, sf_dir, "documents")
-    png = _pos_ngrams(docs).withColumn("h", F.expr(hash64_expr("ngram")))
+    # the hashed positional-span table feeds BOTH the dup aggregation and
+    # the position join; a lazy localCheckpoint materializes it once at
+    # the first action instead of re-hashing the corpus for the second
+    # consumer (components.py precedent; blocks are GC-cleaned with the
+    # plan). At cluster scale this trades one corpus re-scan for local
+    # block storage of (doc_id, pos, h) — 20 B/span, far smaller than the
+    # text it derives from.
+    png = (
+        _pos_ngrams(docs)
+        .withColumn("h", F.expr(hash64_expr("ngram")))
+        .select("doc_id", "n_words", "pos", "h")
+        .localCheckpoint(eager=False)
+    )
     dup = (
         png.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -56,6 +56,18 @@ def main() -> int:
         cols = sorted(sdf.columns)
         ok = set(sdf.columns) == set(odf.columns) and len(sdf) == len(odf)
         if ok:
+            # tuple-ize any list-valued cells so sort_values can order them
+            # (defensive only — oracled outputs should stay scalar, see
+            # customer_order_sets; a list column here deserves a MISMATCH
+            # investigation, not a crash that hides every later query)
+            for df in (sdf, odf):
+                for c in cols:
+                    if df[c].dtype == object and df[c].map(
+                        lambda v: isinstance(v, (list, np.ndarray))
+                    ).any():
+                        df[c] = df[c].map(
+                            lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                        )
             a = sdf[cols].sort_values(cols).reset_index(drop=True)
             b = odf[cols].sort_values(cols).reset_index(drop=True)
             for c in cols:
