@@ -53,7 +53,7 @@ def load_all() -> None:
     from .similarity import ann, ivf, centroids  # noqa: F401
     from .multimodal import binaryops  # noqa: F401
     # new in round 2 — register before the already-driver-green parity set
-    from .text import composition, decontam, spans, chunking, datacard, postings  # noqa: F401
+    from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
     from .similarity import kmeans, quantize  # noqa: F401
     from .operators import monitoring  # noqa: F401
     from . import operators  # noqa: F401

@@ -56,12 +56,14 @@ def test_no_cached_rdds_after_lsh(spark, sf_dir):
     # the groupBy-bucket rewrite caches nothing at all.
     # other tests' localCheckpoints may linger in the shared session, so
     # the invariant is "LSH adds nothing", not an absolute zero
+    # lingering checkpoint blocks from other tests may be GC-released
+    # mid-test, so compare RDD id SETS (nothing NEW), not counts
     spark.catalog.clearCache()
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     minhash_lsh_pairs(spark, sf_dir).count()
     minhash_lsh_pairs(spark, sf_dir).count()
-    after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert after == before
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before
 
 
 def test_bucket_stats_report_dropped_mass(spark, sf_dir):
