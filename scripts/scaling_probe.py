@@ -26,8 +26,10 @@ from cdc_stream_batch_etl_spark.session import get_spark
 BASE = "/root/testdata/sf0.1"
 PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_corpus",
           "doc_token_stats", "dedup_exact", "top_parts_per_brand",
-          "customers_without_orders"]
-TABLES = {"customer", "orders", "lineitem", "part", "documents"}
+          "customers_without_orders",
+          "span_dedup_coverage", "doc_chunks", "doc_lm_score", "term_postings",
+          "embedding_quantize"]
+TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings"}
 
 
 def replicate(spark, n: int, out: str) -> None:
@@ -101,9 +103,10 @@ def main() -> None:
         "  ~50-shingle doc) — the dup-heavy adversarial case. Round 1",
         "  measured exponent 1.39 here (output growth + uncapped buckets);",
         "  with the MAX_BUCKET candidate cap (dedup/minhash.py) the same",
-        "  probe now lands sublinear — degenerate buckets are dropped and",
-        "  reported via lsh_bucket_stats instead of exploding the",
-        "  candidate join (a full cross-join would be exponent 2.0).",
+        "  probe lands ~linear (output itself grows ~N×dup-factor) —",
+        "  degenerate buckets are dropped and reported via",
+        "  lsh_bucket_stats instead of exploding the candidate join",
+        "  (a full cross-join would be exponent 2.0).",
         "- Near-zero/negative exponents on single-scan plans (doc_token_stats,",
         "  dedup_exact, customers_without_orders): runtime is scheduling",
         "  noise on a shared box, not data volume, at these sizes.",
