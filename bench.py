@@ -49,6 +49,8 @@ HEADLINE: list[str] = [
     "doc_chunks",
     "term_postings",
     "embedding_quantize",
+    "ann_pq_topk",
+    "doc_lm_score",
 ]
 
 
@@ -65,18 +67,24 @@ def main() -> None:
     # warm the JVM + parquet footers once, outside the timed region
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    def run_once(name: str) -> float:
+        # queries may persist() intra-query intermediates; drop them
+        # between runs so every timed run starts from parquet
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
-            # queries may persist() intra-query intermediates; drop them
-            # between runs so every timed run starts from parquet
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = registry.QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        samples = [run_once(name), run_once(name)]
+        # shared-box contention can inflate a sample several-fold; when the
+        # two runs disagree badly, take a third so one spike can't both be
+        # the min — still bounded at 3 runs per query
+        if max(samples) > 1.5 * min(samples):
+            samples.append(run_once(name))
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

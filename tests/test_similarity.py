@@ -103,3 +103,43 @@ def test_multimodal_resize_shape(spark, sf_dir):
     assert all(r.target_w == RESIZE_TARGET[0] and r.target_h == RESIZE_TARGET[1] for r in rows[:20])
     assert all(len(r.resized_sha256) == 64 and r.resized_bytes > 0 for r in rows[:20])
     assert rows[:5] == multimodal_resize(spark, sf_dir).collect()[:5]  # deterministic
+
+
+def test_pq_recall_vs_exact_l2(spark, sf_dir):
+    """PQ/ADC ranks by L2 over 8-byte codes. On this isotropic corpus the
+    quantization error is the same order as the signal (random vectors
+    have no cluster structure for the codebook to exploit), so absolute
+    recall is low BY CONSTRUCTION — the contract is that ADC beats random
+    sampling by an order of magnitude, i.e. the codes carry real metric
+    information at 32x compression."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_stream_batch_etl_spark.catalog import load_table
+    from cdc_stream_batch_etl_spark.similarity.pq import ann_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_total = emb.count()
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    d = F.expr("aggregate(zip_with(qe, emb, (x,y)->(x-y)*(x-y)), 0.0D, (a,b)->a+b)")
+    ex = (
+        q.crossJoin(emb)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d.alias("d"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("d", "neighbor_id")),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in ex.collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_pq_topk(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    random_baseline = TOP_K / (n_total - 1)
+    assert recall > 5 * random_baseline, (
+        f"ADC no better than random: recall={recall:.3f} random={random_baseline:.3f}"
+    )
