@@ -90,6 +90,10 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.explode("bs").alias("b"))
         .select("doc_id", "b.pos", "b.w1", "b.w2")
+        # the bigram table feeds the two model aggregations AND the score
+        # join; materialize it once instead of re-exploding the corpus
+        # three times (spans.py precedent — lazy, GC-cleaned blocks)
+        .localCheckpoint(eager=False)
     )
     cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb_cnt"))
     cp = big.groupBy("w1").agg(F.count("*").alias("cp_cnt"))
