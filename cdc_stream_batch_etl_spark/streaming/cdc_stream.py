@@ -46,6 +46,43 @@ def parse_envelope(raw: DataFrame, table: str) -> DataFrame:
     )
 
 
+def split_envelope(raw: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
+    """S5 with DEAD-LETTER routing: the reference wraps every event in
+    try/except and logs-and-continues on malformed payloads
+    (cdc_processor.py:64-68, 277-279) — an event that can't parse must
+    not kill the pipeline, but silently dropping it loses the forensic
+    trail. Spark mapping: `from_json` yields a null struct on malformed
+    JSON; rows whose envelope (or required `op` field) is null route to
+    a dead-letter frame carrying the raw payload, everything else flows
+    on as the typed change stream.
+
+    Returns (changes, dead_letters). Both are streaming DataFrames off
+    ONE parse — Catalyst evaluates from_json once per row and the two
+    filters are complementary predicates on the same projection.
+    """
+    env = schemas.cdc_envelope(schemas.TABLE_SCHEMAS[table])
+    parsed = raw.select(
+        F.col("value").cast("string").alias("raw_value"),
+        F.from_json(F.col("value").cast("string"), env).alias("e"),
+    )
+    ok = F.col("e").isNotNull() & F.col("e.op").isNotNull()
+    changes = parsed.filter(ok).select(
+        F.col("e.source.table").alias("table"),
+        F.col("e.op").alias("op"),
+        F.col("e.ts_ms").alias("ts_ms"),
+        F.timestamp_millis(F.col("e.ts_ms")).alias("event_time"),
+        F.col("e.before").alias("before"),
+        F.col("e.after").alias("after"),
+    )
+    dead = parsed.filter(~ok).select(
+        F.col("raw_value"),
+        F.when(F.col("e").isNull(), F.lit("unparseable_json"))
+        .otherwise(F.lit("missing_op"))
+        .alias("reason"),
+    )
+    return changes, dead
+
+
 def cdc_stats_stream(changes: DataFrame) -> DataFrame:
     """A15/A16: running (table, op) counters — the reference's
     cdc:stats:{table}:{op} Redis counters (cdc_processor.py:46-51) as a
