@@ -55,7 +55,7 @@ def load_all() -> None:
     # new in round 2 — register before the already-driver-green parity set
     from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
     from .similarity import kmeans, quantize, pq  # noqa: F401
-    from .operators import monitoring  # noqa: F401
+    from .operators import monitoring, funnel  # noqa: F401
     from . import operators  # noqa: F401
     from .operators import (  # noqa: F401
         segments,

@@ -78,3 +78,45 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("short_doc_pct"),
     )
+
+
+# Oracle is an INDEPENDENT formulation (digest self-join) of what the
+# Spark plan computes by grouped pair-explosion — stronger evidence than
+# a transliterated query.
+_OVERLAP_ORACLE = """
+WITH ds AS (SELECT DISTINCT md5(text) AS digest, source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_digests
+FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@register("source_overlap", oracle=_OVERLAP_ORACLE)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard duplication provenance: for every source pair, how
+    many distinct content digests they share. Answers "which crawls are
+    mirroring each other" before dedup throws the copies away.
+
+    Plan: groupBy(digest) → sorted distinct source list → in-group pair
+    explosion (the LSH bucket idiom) → count per pair. One digest
+    shuffle; no self-join of the corpus, and a digest shared by k
+    sources costs C(k,2) ≤ C(|sources|,2) rows — bounded by the source
+    count, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_digest = (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = per_digest.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_digests")
+    )
