@@ -61,6 +61,41 @@ def purchase_click_attribution_stream(
     )
 
 
+def unconverted_clicks_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = WATERMARK,
+    window: str = ATTRIBUTION_WINDOW,
+) -> DataFrame:
+    """LEFT-OUTER variant: every click, with its converting purchase or
+    NULLs if none arrived in the window. The null (unconverted) rows can
+    only be emitted once the purchase-side WATERMARK has passed the end
+    of the click's window — proof of absence needs a closed book, so
+    outer results trail the watermark by construction (a click near the
+    end of the stream whose window the watermark never passes stays
+    buffered; feed a final heartbeat event or stop-and-drain to flush —
+    the inherent outer-join-on-streams contract, not a bug)."""
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c.user_id = p.user_id
+            AND p.ts >= c.ts
+            AND p.ts <= c.ts + interval {window}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
 def purchase_click_attribution_batch(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     """Batch twin on the identical predicate — used by the parity test;
     at rest this is a plain range join Catalyst plans as a hash join on

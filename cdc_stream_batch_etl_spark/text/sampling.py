@@ -94,6 +94,44 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-source document quota for the crawl-balance sample
+SOURCE_QUOTA = 15
+
+_QUOTA_ORACLE = f"""
+SELECT doc_id, source, quota_rank
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_bucket_sql("doc_id")} ASC, doc_id ASC) AS BIGINT) AS quota_rank
+  FROM documents
+)
+WHERE quota_rank <= {SOURCE_QUOTA}
+"""
+
+
+@register("source_quota_sample", oracle=_QUOTA_ORACLE)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota (crawl curation: no source may dominate): keep at
+    most SOURCE_QUOTA docs per source, chosen by the content-addressed
+    md5 bucket (then doc_id) — so the kept set is a stable pseudo-random
+    sample per source, invariant under re-runs and re-partitioning, NOT
+    "first N by arrival". One shuffle on source; the window carries only
+    (doc_id, source)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            _bucket_spark(F.col("doc_id")).asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        docs.select("doc_id", "source", rank.cast("bigint").alias("quota_rank"))
+        .filter(F.col("quota_rank") <= SOURCE_QUOTA)
+    )
+
+
 # keep documents at or above this quality-score quantile
 QUALITY_QUANTILE = 0.75
 

@@ -83,3 +83,48 @@ def test_stream_stream_join_matches_batch_twin(spark, tmp_path, event_batches):
         ).collect()
     }
     assert got == expected == {(1, 2), (3, 5), (7, 8)}
+
+
+def test_left_outer_stream_join_emits_unconverted(spark, tmp_path, event_batches):
+    """Clicks with no purchase in-window surface with NULL purchase_id
+    once the watermark passes their window. A far-future heartbeat click
+    in the last batch pushes the watermark so earlier unmatched clicks
+    flush; the heartbeat itself stays buffered (its own window never
+    closes) - asserting that too."""
+    from cdc_stream_batch_etl_spark.streaming.joins import unconverted_clicks_stream
+
+    # extend the fixture with a watermark-advancing heartbeat batch
+    hb = [(99, "2024-01-01 03:00:00", 999, "click", 0.0)]
+    import pathlib
+
+    src_dir = pathlib.Path(event_batches[:-2])
+    spark.createDataFrame(hb, ["event_id", "ts0", "user_id", "event_type", "value"]).select(
+        "event_id",
+        F.col("ts0").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).coalesce(1).write.parquet(str(src_dir / "b9.parquet"))
+
+    stream = parquet_stream(spark, event_batches, SCHEMA)
+    out = unconverted_clicks_stream(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("unconv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM unconv").collect()
+    matched = {(r["click_id"], r["purchase_id"]) for r in rows if r["purchase_id"] is not None}
+    unmatched = {r["click_id"] for r in rows if r["purchase_id"] is None}
+    assert matched == {(1, 2), (3, 5), (7, 8)}
+    # click 4 (user 9, 00:03) never converted - watermark passed, flushed
+    assert 4 in unmatched
+    # the heartbeat's own window never closed, so it must NOT appear
+    assert 99 not in unmatched
