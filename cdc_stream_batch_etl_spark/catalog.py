@@ -36,14 +36,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session_for_correctness(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects; with the nanosAsLong pin (session.py) it surfaces as
-        # nanos-since-epoch LongType. Truncate to micros with integer
-        # division (exact — double division loses µs at 1e18 magnitudes),
-        # matching DuckDB's ns→µs truncation.
+        # The driver has shipped events.parquet with two physical types for
+        # `ts` across rounds; normalize both to a session-TZ TimestampType:
+        # - TIMESTAMP(NANOS): Spark's reader rejects it outright; with the
+        #   nanosAsLong pin (session.py) it surfaces as nanos-since-epoch
+        #   LongType. Truncate to micros with integer division (exact —
+        #   double division loses µs at 1e18 magnitudes), matching DuckDB's
+        #   ns→µs truncation.
+        # - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
+        #   TIMESTAMP_NTZ; cast to TimestampType (session TZ is pinned UTC,
+        #   so the instant is unchanged and matches DuckDB's tz-naive read).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
