@@ -1,34 +1,50 @@
-"""Multimodal columns: opaque binary payloads with typed metadata, and
-Pandas-UDF decode plumbing.
+"""Multimodal columns: REAL binary image payloads with a real decode path.
 
-Design per the brief: image/audio/video are `binary` columns + metadata;
-decode/feature-extract run as Arrow-batched `mapInPandas` (the image/audio
-libraries are not in this container, so the decode body is a clearly-marked
-STUB: it falls back to a deterministic fake derived from sha256 when
-PIL/librosa are unavailable, keeping the Spark-side plumbing — schema,
-batching, partitioning — real and tested).
+Design per the brief: image/audio/video are opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` operators (no
+shuffle — the decode pipeline is scan-local, SURVEY §2.11). The container
+has no image libraries (PIL/opencv), so instead of stubbing the decode we
+make the FORMAT simple enough to be real without them:
 
-`multimodal_binary_meta` is fully built-in (encode/sha2/octet_length) and
-oracle-checked; the mapInPandas operators are registered rows-only.
+- ``encode_bmp``   — builds a genuine, spec-conformant 24-bit BMP binary
+  per document (dimensions derived deterministically from the document's
+  sha256 digest; pixel rows tile the digest). Any external BMP viewer
+  could open these payloads.
+- ``decode_bmp_features`` — a REAL decoder: parses the BITMAPFILEHEADER /
+  BITMAPINFOHEADER with ``struct``, validates magic/bpp/offset, extracts
+  the padded pixel raster with numpy, and computes metadata + an exact
+  pixel checksum from the decoded bytes. Nothing is faked: a bug in
+  either the encoder or the parser breaks the oracle hash-match.
+- ``resize_bmp`` — a REAL nearest-neighbor resize: decode → 2-D numpy
+  gather to 224×224 → re-encode as a fresh BMP; outputs the actual
+  re-encoded byte length and the checksum of the resampled raster.
+- ``multimodal_frame_sample`` — video-style 1→N frame fan-out inside
+  mapInPandas (frame count from the digest, per-frame digests over the
+  payload) — demonstrates the expanding Arrow batch shape.
 
-DRIVER CONTRACT (stub declaration, per VERDICT r1 item 9): PIL/pillow,
-opencv, and librosa are NOT installable in this environment (no pip), so
-`multimodal_features` / `multimodal_resize` / `multimodal_frame_sample`
-ship with the deterministic sha256-derived fake decode below and are
-registered WITHOUT an oracle — the driver's correctness gate records them
-as rows-only BY DESIGN. Everything around the decode body is production
-real and tested: output schemas, Arrow batch shape, mapInPandas
-partitioning (no shuffle), and the per-row cost profile. Wiring a real
-decode is a one-function swap (`_decode_image_stub`), guarded by a
-NotImplementedError that fires the moment PIL appears so the fake can
-never silently masquerade as a real decode.
+Every query here is fully DuckDB-oracled: the payload generator is
+digest-deterministic, so the oracle independently predicts header fields
+and raster checksums from ``sha256(text)`` using a 256-row hex→byte
+lookup join — the Spark side must *actually* round-trip real bytes
+through encode→parse to match.
+
+Reference parity note: the reference has no multimodal surface at all
+(SURVEY §2.11 — beyond-reference mandate); binary handling there is
+limited to JSON bytes on the Kafka boundary (utils.py:76-100).
+
+Scale notes (100 TB): encode/decode/resize are 1:1 row-local Pandas
+iterators — no shuffle, no state; partition count = input file splits.
+Per-batch memory is bounded by Arrow batch size × max raster (255×255×3
+≈ 195 KB), independent of corpus size.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,134 +79,291 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FEATURES_SCHEMA = T.StructType(
+# ---------------------------------------------------------------------------
+# BMP codec (pure stdlib/numpy — real binary format, no image libraries)
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER_SIZE = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a 24-bit uncompressed BMP.
+
+    Rows are written bottom-up with 4-byte padding, per the BMP spec."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = pixels[::-1].reshape(h, w * 3)  # bottom-up
+    body = raster.tobytes()
+    file_size = _BMP_HEADER_SIZE + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, _BMP_HEADER_SIZE)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit BMP into an (H, W, 3) uint8 array (top-down).
+
+    A real parser: validates magic, bpp, and compression; honors the
+    pixel-data offset and row padding from the header."""
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    stride = (w * 3 + 3) & ~3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=offset)
+    rows = raster.reshape(h, stride)[:, : w * 3]
+    return rows.reshape(h, w, 3)[::-1]  # bottom-up → top-down
+
+
+def _doc_pixels(text: str) -> np.ndarray:
+    """Deterministic raster for a document: dimensions from the first two
+    digest bytes (64..255), every row tiles the 32-byte digest."""
+    d = hashlib.sha256(text.encode("utf-8")).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    reps = (width * 3 + len(d) - 1) // len(d)
+    row = np.frombuffer((d * reps)[: width * 3], dtype=np.uint8)
+    return np.broadcast_to(row, (height, width * 3)).reshape(height, width, 3)
+
+
+_PAYLOAD_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("n_channels", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("payload", T.BinaryType()),
     ]
 )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """STUB decode: a real deployment would do
-    ``PIL.Image.open(io.BytesIO(payload))`` here. This container has no
-    image libraries, so dimensions/features are derived deterministically
-    from the payload digest — same Arrow batch shape, schema, and cost
-    profile as a real decode."""
-    try:
-        import PIL.Image  # noqa: F401
+def encode_bmp(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """documents → (doc_id, payload: binary) of real BMP images.
 
-        raise NotImplementedError("real image decode not wired in this environment")
-    except ImportError:
-        pass
-    d = hashlib.sha256(payload).digest()
-    width = 64 + d[0] % 192
-    height = 64 + d[1] % 192
-    channels = 3
-    feature = [b / 255.0 for b in d[:16]]
-    return width, height, channels, feature
-
-
-def decode_image_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas decode: Arrow-batched, per-partition, no shuffle.
-    Input: any DataFrame with (id_col, payload_col binary)."""
+    Arrow-batched, 1:1, no shuffle — the 'ingest' half of the multimodal
+    pipeline. Output payloads are spec-conformant 24-bit BMPs."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_decode_image_stub(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "width": [r[0] for r in rows],
-                    "height": [r[1] for r in rows],
-                    "n_channels": [r[2] for r in rows],
-                    "feature": [r[3] for r in rows],
+                    "payload": [bmp_encode(_doc_pixels(t)) for t in pdf[text_col]],
+                }
+            )
+
+    return df.mapInPandas(fn, schema=_PAYLOAD_SCHEMA)
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("pixel_bytes", T.LongType()),
+        T.StructField("pixel_checksum", T.LongType()),
+    ]
+)
+
+
+def decode_bmp_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: parse each BMP header, extract the raster, and
+    emit metadata + an exact checksum of the decoded pixel bytes."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, sizes, sums = [], [], [], []
+            for payload in pdf[payload_col]:
+                px = bmp_decode(bytes(payload))
+                h, w, _ = px.shape
+                widths.append(w)
+                heights.append(h)
+                sizes.append(w * h * 3)
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": widths,
+                    "height": heights,
+                    "n_channels": 3,
+                    "pixel_bytes": sizes,
+                    "pixel_checksum": sums,
                 }
             )
 
     return df.mapInPandas(fn, schema=_FEATURES_SCHEMA)
 
 
-@register("multimodal_features")  # stubbed decode: rows-only driver check
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return decode_image_features(payloads)
+# hex-pair → byte-value lookup: lets the oracle read digest bytes in SQL
+_HEXMAP = "SELECT i AS v, printf('%02x', i) AS hx FROM range(256) t(i)"
 
+# digest bytes 0..31 per document, as (doc_id, j, v) rows
+_DIGEST_BYTES = """
+  SELECT sh.doc_id, r.j, m.v
+  FROM sh CROSS JOIN range(32) r(j)
+  JOIN hexmap m ON m.hx = substr(sh.h, CAST(1 + 2 * r.j AS INTEGER), 2)
+"""
+
+_FEATURES_ORACLE = f"""
+WITH hexmap AS ({_HEXMAP}),
+sh AS (SELECT doc_id, lower(sha256(text)) AS h FROM documents),
+bytes AS ({_DIGEST_BYTES}),
+dims AS (
+  SELECT doc_id,
+         64 + (MAX(CASE WHEN j = 0 THEN v END) % 192) AS width,
+         64 + (MAX(CASE WHEN j = 1 THEN v END) % 192) AS height
+  FROM bytes GROUP BY doc_id
+),
+chk AS (
+  SELECT b.doc_id,
+         SUM(b.v) AS s32,
+         SUM(CASE WHEN b.j < (d.width * 3) % 32 THEN b.v ELSE 0 END) AS pre
+  FROM bytes b JOIN dims d USING (doc_id) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(d.width AS BIGINT) AS width,
+       CAST(d.height AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(d.width * d.height * 3 AS BIGINT) AS pixel_bytes,
+       CAST(d.height * ((d.width * 3 // 32) * c.s32 + c.pre) AS BIGINT) AS pixel_checksum
+FROM dims d JOIN chk c USING (doc_id)
+"""
+
+
+@register("multimodal_features", oracle=_FEATURES_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real encode→decode round trip: documents → BMP binaries → parsed
+    header dims + raster checksum. The oracle predicts the same values
+    from digest arithmetic alone, so the binary round trip is fully
+    hash-verified."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_bmp_features(encode_bmp(docs))
+
+
+RESIZE_TARGET = (224, 224)  # the usual vision-model input square
 
 _RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("target_w", T.IntegerType()),
-        T.StructField("target_h", T.IntegerType()),
-        T.StructField("resized_sha256", T.StringType()),
+        T.StructField("target_w", T.LongType()),
+        T.StructField("target_h", T.LongType()),
         T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_checksum", T.LongType()),
     ]
 )
 
-RESIZE_TARGET = (224, 224)  # the usual vision-model input square
+# the resampled raster: rows tile the digest, so resized pixel (x, c)
+# = digest[((x * width // 224) * 3 + c) % 32], identical for all 224 rows
+_RESIZE_ORACLE = f"""
+WITH hexmap AS ({_HEXMAP}),
+sh AS (SELECT doc_id, lower(sha256(text)) AS h FROM documents),
+bytes AS ({_DIGEST_BYTES}),
+dims AS (
+  SELECT doc_id,
+         64 + (MAX(CASE WHEN j = 0 THEN v END) % 192) AS width
+  FROM bytes GROUP BY doc_id
+),
+samp AS (
+  SELECT d.doc_id, SUM(b.v) AS row_sum
+  FROM dims d
+  CROSS JOIN range({RESIZE_TARGET[0]}) x(xi)
+  CROSS JOIN range(3) c(ci)
+  JOIN bytes b
+    ON b.doc_id = d.doc_id
+   AND b.j = ((x.xi * d.width // {RESIZE_TARGET[0]}) * 3 + c.ci) % 32
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST({RESIZE_TARGET[0]} AS BIGINT) AS target_w,
+       CAST({RESIZE_TARGET[1]} AS BIGINT) AS target_h,
+       CAST({_BMP_HEADER_SIZE + RESIZE_TARGET[0] * RESIZE_TARGET[1] * 3} AS BIGINT) AS resized_bytes,
+       CAST({RESIZE_TARGET[1]} * s.row_sum AS BIGINT) AS resized_checksum
+FROM dims d JOIN samp s USING (doc_id)
+"""
 
 
-@register("multimodal_resize")  # stubbed decode: rows-only driver check
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (STUB: a real deployment decodes, resizes to
-    RESIZE_TARGET with PIL, re-encodes; here the resized payload is a
-    deterministic digest-derived fake of plausible size). Shape matters:
-    binary-in → binary-metadata-out, 1:1, Arrow-batched, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+def resize_bmp(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Real nearest-neighbor resize: decode → 2-D gather → re-encode.
+    Emits the actual re-encoded byte length and resampled checksum."""
     tw, th = RESIZE_TARGET
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(tw)
+        ys = np.arange(th)
         for pdf in batches:
-            shas, sizes = [], []
-            for payload in pdf["payload"]:
-                d = hashlib.sha256(b"resize|" + payload).digest()
-                shas.append(d.hex())
-                # fake re-encoded size: bounded by the target raster
-                sizes.append(1000 + int.from_bytes(d[:4], "big") % (tw * th * 3 // 10))
+            sizes, sums = [], []
+            for payload in pdf[payload_col]:
+                px = bmp_decode(bytes(payload))
+                h, w, _ = px.shape
+                res = px[np.ix_((ys * h) // th, (xs * w) // tw)]
+                sizes.append(len(bmp_encode(res)))
+                sums.append(int(res.astype(np.int64).sum()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "doc_id": pdf[id_col].astype("int64"),
                     "target_w": tw,
                     "target_h": th,
-                    "resized_sha256": shas,
                     "resized_bytes": sizes,
+                    "resized_checksum": sums,
                 }
             )
 
-    return payloads.mapInPandas(fn, schema=_RESIZE_SCHEMA)
+    return df.mapInPandas(fn, schema=_RESIZE_SCHEMA)
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over real BMP payloads: binary-in → binary-out 1:1,
+    Arrow-batched, no shuffle. 224×224×24bpp re-encode has no row padding,
+    so the oracle's byte-length constant is exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return resize_bmp(encode_bmp(docs))
 
 
 _FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_idx", T.LongType()),
         T.StructField("frame_sha", T.StringType()),
     ]
 )
 
+_FRAMES_ORACLE = """
+WITH hexmap AS (SELECT i AS v, printf('%02x', i) AS hx FROM range(256) t(i)),
+sh AS (SELECT doc_id, text, lower(sha256(text)) AS h FROM documents),
+nf AS (
+  SELECT sh.doc_id, sh.text, 1 + (m.v % 4) AS n_frames
+  FROM sh JOIN hexmap m ON m.hx = substr(sh.h, 5, 2)
+),
+fr AS (SELECT doc_id, text, unnest(range(n_frames)) AS frame_idx FROM nf)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       sha256(text || '|frame|' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+FROM fr
+"""
 
-@register("multimodal_frame_sample")  # stubbed decode: rows-only driver check
+
+@register("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: 1→N row expansion inside
-    mapInPandas (STUB: frame digests derived from payload; a real
-    deployment decodes keyframes). Demonstrates the fan-out batch shape."""
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    """Video frame-sampling plumbing: 1→N row expansion inside mapInPandas.
+    Frame count is digest byte 2 (1..4 frames); each frame carries a
+    content-derived digest. Demonstrates the expanding batch shape a real
+    keyframe extractor would produce."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, shas = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
                 n_frames = 1 + hashlib.sha256(payload).digest()[2] % 4
                 for i in range(n_frames):
                     ids.append(doc_id)
                     idxs.append(i)
-                    shas.append(hashlib.sha256(payload + bytes([i])).hexdigest())
+                    shas.append(
+                        hashlib.sha256(payload + b"|frame|" + str(i).encode()).hexdigest()
+                    )
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
 
-    return payloads.mapInPandas(fn, schema=_FRAMES_SCHEMA)
+    return docs.mapInPandas(fn, schema=_FRAMES_SCHEMA)
