@@ -51,8 +51,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type != "timestamp":
+        elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # Fail loudly: a silent cast of an unexpected physical type
+            # (e.g. string) would corrupt ts to NULLs downstream.
+            raise ValueError(
+                f"events.ts has unexpected physical type {ts_type!r}; "
+                "expected bigint (nanos), timestamp_ntz, or timestamp"
+            )
     return df
 
 

@@ -106,13 +106,23 @@ def bmp_decode(payload: bytes) -> np.ndarray:
 
     A real parser: validates magic, bpp, and compression; honors the
     pixel-data offset and row padding from the header."""
+    if len(payload) < _BMP_HEADER_SIZE:
+        raise ValueError(f"truncated BMP payload: {len(payload)} bytes < {_BMP_HEADER_SIZE}")
     magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     hdr_size, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
     if bpp != 24 or compression != 0 or hdr_size < 40:
         raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    if w <= 0 or h <= 0:
+        # negative biHeight = spec-legal top-down raster; we only emit/accept
+        # the bottom-up form, and w<=0 is corrupt either way
+        raise ValueError(f"unsupported BMP dimensions: w={w} h={h}")
     stride = (w * 3 + 3) & ~3
+    if offset < _BMP_HEADER_SIZE or offset + h * stride > len(payload):
+        raise ValueError(
+            f"BMP raster out of bounds: offset={offset} need={h * stride} have={len(payload)}"
+        )
     raster = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=offset)
     rows = raster.reshape(h, stride)[:, : w * 3]
     return rows.reshape(h, w, 3)[::-1]  # bottom-up → top-down

@@ -17,6 +17,21 @@ from typing import Any
 QUERIES: dict[str, Callable[..., Any]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Queries deliberately registered WITHOUT an oracle — the driver records a
+#: weaker rows-only check for these, by design (not an oversight):
+#:   random_pick   — ORDER BY RANDOM() LIMIT 1: seeded RNG streams are
+#:                   engine-specific, so no cross-engine SQL oracle can
+#:                   reproduce the pick; determinism within Spark is
+#:                   pytest-asserted instead (tests/test_queries.py).
+#:   ann_lsh_topk  — approximate by construction: the LSH candidate set
+#:                   depends on hyperplane bucketing an exact-SQL oracle
+#:                   cannot mirror; its recall floor is pytest-gated
+#:                   (tests/test_similarity.py::test_lsh_recall_vs_exact).
+ROWS_ONLY: dict[str, str] = {
+    "random_pick": "seeded-RNG pick is engine-specific; Spark-side determinism pytest-asserted",
+    "ann_lsh_topk": "approximate LSH; recall floor pytest-gated vs the exact top-k",
+}
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -32,30 +47,21 @@ def load_all() -> None:
     """Import every operator module so registration side-effects run.
 
     Registration order is deliberate: the driver's correctness harness
-    iterates ``queries()`` in dict (= registration) order and round 1 only
-    reached the first ~50 entries, so the training-data-pipeline families
-    (dedup / text / similarity / multimodal) — which lacked driver rows in
-    round 1 — register FIRST, followed by the reference-parity operators
-    (all of which already have green CORRECTNESS_r01 rows).
+    iterates ``queries()`` in dict (= registration) order and reaches only
+    the first ~50 entries per round. Rotation history:
+      r1  — reference-parity operators first → all 50 parity queries green.
+      r2/r3 — training-data-pipeline families first → all 49 oracled
+              pipeline queries green (ann_lsh_topk declared rows-only).
+      r4 (now) — funnel/monitoring FIRST (the only three queries with no
+              driver row in any round: conversion_funnel, retention_cohorts,
+              pipeline_health), then the parity set (re-verification under
+              the round-2 catalog.py timestamp normalization), then the
+              already-double-green pipeline families.
     """
-    from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
-    from .text import (  # noqa: F401
-        analysis,
-        corpus,
-        sampling,
-        scrub,
-        ngrams,
-        repetition,
-        tfidf,
-        contamination,
-        lengthdist,
-    )
-    from .similarity import ann, ivf, centroids  # noqa: F401
-    from .multimodal import binaryops  # noqa: F401
-    # new in round 2 — register before the already-driver-green parity set
-    from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
-    from .similarity import kmeans, quantize, pq  # noqa: F401
-    from .operators import monitoring, funnel  # noqa: F401
+    # positions 1-3: the never-driver-checked trio
+    from .operators import funnel, monitoring  # noqa: F401
+
+    # positions 4-53: the reference-parity set (last driver-checked in r1)
     from . import operators  # noqa: F401
     from .operators import (  # noqa: F401
         segments,
@@ -75,3 +81,21 @@ def load_all() -> None:
         relational,
         setops,
     )
+
+    # remainder: pipeline families, driver-green in r2+r3
+    from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
+    from .text import (  # noqa: F401
+        analysis,
+        corpus,
+        sampling,
+        scrub,
+        ngrams,
+        repetition,
+        tfidf,
+        contamination,
+        lengthdist,
+    )
+    from .similarity import ann, ivf, centroids  # noqa: F401
+    from .multimodal import binaryops  # noqa: F401
+    from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
+    from .similarity import kmeans, quantize, pq  # noqa: F401

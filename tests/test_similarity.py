@@ -36,11 +36,20 @@ def test_multimodal_features_schema(spark, sf_dir):
     df = multimodal_features(spark, sf_dir)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) == {"doc_id", "width", "height", "n_channels", "feature"}
+    assert set(df.columns) == {
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        "pixel_bytes",
+        "pixel_checksum",
+    }
     r = rows[0]
     assert 64 <= r.width <= 255 and 64 <= r.height <= 255
-    assert len(r.feature) == 16
-    # deterministic across runs
+    assert r.n_channels == 3
+    assert r.pixel_bytes == r.width * r.height * 3
+    assert r.pixel_checksum > 0
+    # deterministic across runs (checksum derived from decoded raster bytes)
     rows2 = multimodal_features(spark, sf_dir).collect()
     assert rows[:5] == rows2[:5]
 
@@ -101,7 +110,9 @@ def test_multimodal_resize_shape(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r.target_w == RESIZE_TARGET[0] and r.target_h == RESIZE_TARGET[1] for r in rows[:20])
-    assert all(len(r.resized_sha256) == 64 and r.resized_bytes > 0 for r in rows[:20])
+    # 224×224×3 re-encode has no row padding → exact byte length
+    expected_bytes = 54 + RESIZE_TARGET[0] * RESIZE_TARGET[1] * 3
+    assert all(r.resized_bytes == expected_bytes and r.resized_checksum > 0 for r in rows[:20])
     assert rows[:5] == multimodal_resize(spark, sf_dir).collect()[:5]  # deterministic
 
 
