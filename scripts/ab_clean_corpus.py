@@ -16,6 +16,8 @@ import statistics
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from cdc_stream_batch_etl_spark.text.corpus import clean_corpus
 from cdc_stream_batch_etl_spark.session import get_spark
 
