@@ -15,19 +15,30 @@ from pyspark.sql import functions as F
 SHINGLE_N = 3
 
 
+def ngram_fold_sql(words_sql: str, n: int) -> str:
+    """Spark SQL for the array of n-word grams of ``words_sql``, built as
+    a fold of ``zip_with`` over n shifted slices.
+
+    PERFORMANCE-CRITICAL SHAPE: the obvious spelling —
+    ``transform(sequence(0, size(w)-n), i -> concat_ws(' ', slice(w, i+1, n)))``
+    — is quadratic per document, because CollapseProject inlines the
+    aliased ``split(text, ' ')`` into the lambda body and HOF lambdas are
+    interpreted, so every element access re-tokenizes the document
+    (measured 12-25x slower at sf0.1, see SCALING.md). zip_with's inputs
+    are HOF *children*, evaluated once per row; its lambda touches only
+    the paired elements, never the outer array — linear, still scan-local."""
+    ln = f"greatest(size({words_sql}) - {n - 1}, 0)"
+    acc = f"slice({words_sql}, {n}, {ln})"
+    for k in range(n - 1, 0, -1):
+        acc = f"zip_with(slice({words_sql}, {k}, {ln}), {acc}, (g{k}x, g{k}y) -> concat(g{k}x, ' ', g{k}y))"
+    return acc
+
+
 def shingles_col(text_col: str = "text", n: int = SHINGLE_N) -> Column:
     """Distinct n-word shingles of a space-tokenized text column —
     a pure scan-local array expression (no explode, no shuffle)."""
-    return F.expr(
-        f"""
-        array_distinct(
-          CASE WHEN size(split({text_col}, ' ')) >= {n}
-               THEN transform(sequence(0, size(split({text_col}, ' ')) - {n}),
-                              i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))
-               ELSE array()
-          END)
-        """
-    )
+    words_sql = f"split({text_col}, ' ')"
+    return F.expr(f"array_distinct({ngram_fold_sql(words_sql, n)})")
 
 
 def shingles_sql(n: int = SHINGLE_N) -> str:

@@ -52,23 +52,27 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     'doc_id:chunk_idx' — content-addressed, stable across runs and
     engines (same family as train_test_split's bucket function)."""
     docs = load_table(spark, sf_dir, "documents")
-    chunk_structs = F.expr(
-        f"""
-        transform(sequence(0, (size(words) + {CHUNK_S} - 1) div {CHUNK_S} - 1),
-                  k -> struct(
-                    k AS chunk_idx,
-                    concat_ws(' ', slice(words, k * {CHUNK_S} + 1, {CHUNK_W})) AS chunk_text,
-                    size(slice(words, k * {CHUNK_S} + 1, {CHUNK_W})) AS n_chunk_words))
-        """
-    )
+    # explode the chunk INDICES first: the Generate node is a projection
+    # barrier, so the slice below reads `words` as a materialized
+    # attribute instead of re-tokenizing per chunk (a transform(sequence)
+    # lambda here was quadratic after CollapseProject inlined the split —
+    # see dedup.ngram_fold_sql). The stride geometry rules out the
+    # zip_with-fold spelling, so the barrier pattern is the linear path.
+    chunk = F.slice(F.col("words"), F.col("chunk_idx") * CHUNK_S + 1, CHUNK_W)
     return (
         docs.select("doc_id", F.split("text", " ").alias("words"))
-        .select("doc_id", F.explode(chunk_structs).alias("c"))
         .select(
             "doc_id",
-            F.col("c.chunk_idx").alias("chunk_idx"),
-            F.expr(hash64_expr("concat(doc_id, ':', c.chunk_idx)")).alias("chunk_id"),
-            F.col("c.chunk_text").alias("chunk_text"),
-            F.col("c.n_chunk_words").alias("n_chunk_words"),
+            "words",
+            F.explode(
+                F.expr(f"sequence(0, (size(words) + {CHUNK_S} - 1) div {CHUNK_S} - 1)")
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(hash64_expr("concat(doc_id, ':', chunk_idx)")).alias("chunk_id"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_words"),
         )
     )

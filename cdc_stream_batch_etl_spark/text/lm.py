@@ -71,6 +71,10 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorers are the disfluent / boilerplate / wrong-language tail a
     perplexity filter would drop."""
     docs = load_table(spark, sf_dir, "documents")
+    # positional bigrams via zip_with over two shifted slices — the inputs
+    # are HOF children (evaluated once per row); a transform(sequence)
+    # lambda indexing `words` would re-tokenize per element after
+    # CollapseProject inlines the split (quadratic — see ngram_fold_sql)
     big = (
         fan_out(docs)
         .select("doc_id", F.split("text", " ").alias("words"))
@@ -78,18 +82,14 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(
                 """
-                CASE WHEN size(words) >= 2
-                     THEN transform(sequence(0, size(words) - 2),
-                                    i -> struct(i AS pos,
-                                                element_at(words, i + 1) AS w1,
-                                                element_at(words, i + 2) AS w2))
-                     ELSE array()
-                END
+                zip_with(slice(words, 1, greatest(size(words) - 1, 0)),
+                         slice(words, 2, greatest(size(words) - 1, 0)),
+                         (a, b) -> struct(a AS w1, b AS w2))
                 """
             ).alias("bs"),
         )
-        .select("doc_id", F.explode("bs").alias("b"))
-        .select("doc_id", "b.pos", "b.w1", "b.w2")
+        .select("doc_id", F.posexplode("bs").alias("pos", "b"))
+        .select("doc_id", "pos", "b.w1", "b.w2")
         # the bigram table feeds the two model aggregations AND the score
         # join; materialize it once instead of re-exploding the corpus
         # three times (spans.py precedent — lazy, GC-cleaned blocks)
@@ -97,11 +97,15 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb_cnt"))
     cp = big.groupBy("w1").agg(F.count("*").alias("cp_cnt"))
-    scored = (
-        big.join(cb, ["w1", "w2"])
-        .join(cp, ["w1"])
-        .select("doc_id", "pos", (F.col("cb_cnt").cast("double") / F.col("cp_cnt")).alias("p"))
+    # assemble the model FIRST (vocab-sized join: |bigrams| ⋈ |vocab|),
+    # then join the corpus once — the positional bigram table is the big
+    # side and must not be shuffled twice; under the broadcast threshold
+    # AQE ships the finished model to every task and the corpus is never
+    # shuffled at all for scoring
+    model = cb.join(cp, ["w1"]).select(
+        "w1", "w2", (F.col("cb_cnt").cast("double") / F.col("cp_cnt")).alias("p")
     )
+    scored = big.join(model, ["w1", "w2"]).select("doc_id", "pos", "p")
     folded = F.aggregate(
         F.expr("transform(array_sort(collect_list(struct(pos, p))), s -> s.p)"),
         F.lit(0.0),

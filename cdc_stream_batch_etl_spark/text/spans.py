@@ -49,22 +49,20 @@ N_SPAN = 8
 
 def _pos_ngrams(docs: DataFrame) -> DataFrame:
     """(doc_id, n_words, pos, ngram) — positional N-word spans, built
-    scan-local (one array expression) then exploded once."""
-    spans = F.expr(
-        f"""
-        CASE WHEN size(words) >= {N_SPAN}
-             THEN transform(sequence(0, size(words) - {N_SPAN}),
-                            i -> struct(i AS pos,
-                                        concat_ws(' ', slice(words, i + 1, {N_SPAN})) AS ngram))
-             ELSE array()
-        END
-        """
-    )
+    scan-local (one array expression) then exploded once; posexplode
+    supplies the 0-based span position. The gram array is a zip_with
+    fold over shifted slices (linear; see dedup.ngram_fold_sql for why
+    the transform(sequence) spelling is quadratic)."""
+    from ..dedup import ngram_fold_sql
+
     return (
         fan_out(docs).select("doc_id", F.split("text", " ").alias("words"))
-        .select("doc_id", F.size("words").alias("n_words"), spans.alias("pn"))
-        .select("doc_id", "n_words", F.explode("pn").alias("p"))
-        .select("doc_id", "n_words", F.col("p.pos").alias("pos"), F.col("p.ngram").alias("ngram"))
+        .select(
+            "doc_id",
+            F.size("words").alias("n_words"),
+            F.expr(ngram_fold_sql("words", N_SPAN)).alias("pn"),
+        )
+        .select("doc_id", "n_words", F.posexplode("pn").alias("pos", "ngram"))
     )
 
 
