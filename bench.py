@@ -35,6 +35,7 @@ HEADLINE: list[str] = [
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "embed_near_dup_lsh",
+    "semantic_dedup",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "doc_token_stats",

@@ -1,0 +1,109 @@
+"""Semantic deduplication — SemDeDup re-expressed as a Spark plan.
+
+SemDeDup (Abbas et al. 2023, arXiv:2303.09540) removes semantic
+duplicates — documents whose EMBEDDINGS nearly coincide even when their
+text differs — by (1) clustering the embedding space so that (2) the
+quadratic near-duplicate comparison runs only WITHIN a cluster, never
+across the corpus. This is the embeddings-side sibling of the text-side
+``clean_corpus`` composition (text/corpus.py) and completes the dedup
+ladder: exact → prefix → n-gram → MinHash → SimHash → embedding-pairs →
+semantic (clustered).
+
+Deterministic re-expression (fully DuckDB-oracled, like the IVF family):
+- clusters come from the stride-sampled coarse quantizer shared with
+  similarity/ivf.py (``vec_id % CENTROID_STRIDE == 0`` stands in for
+  k-means; assignment = argmax dot, ties to the larger centroid id via
+  lexicographic struct-max — the exact IVF convention);
+- within a cell, pairs with cosine ≥ SEM_THRESHOLD mark the LARGER
+  vec_id as removed (the clean_corpus / minhash prune convention), so
+  every group keeps its smallest id — order-free and engine-neutral.
+
+Scale shape (the reason SemDeDup exists): assignment is a broadcast of
+~N/STRIDE centroids against one corpus scan + a vec-keyed argmax
+shuffle; the pair stage self-joins on the CELL key only, so its cost is
+sum over cells of |cell|² — with k ∝ N clusters this is O(N·avg_cell),
+not O(N²). Skewed cells are split by AQE skew-join handling; at a real
+100 TB scale k-means centroids would replace the stride sample with no
+plan change. Output is corpus-sized (every vector annotated kept/
+removed), never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..similarity.ann import _dot
+from ..similarity.ivf import CENTROID_STRIDE
+
+SEM_THRESHOLD = 0.40  # isotropic synthetic corpus; ~0.95 on a real one
+
+_DOT = "list_dot_product({a}, {b})"
+_COS = (
+    "list_dot_product(a.emb, b.emb) / "
+    "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+)
+
+_SEMANTIC_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {CENTROID_STRIDE} = 0
+), assign AS (
+  SELECT vec_id, emb,
+         (max(struct_pack(d := {_DOT.format(a="emb", b="cemb")}, cid := cid))).cid AS cell
+  FROM e CROSS JOIN cent
+  GROUP BY vec_id, emb
+), pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_COS} >= {SEM_THRESHOLD}
+), removed AS (
+  SELECT DISTINCT vb FROM pairs
+)
+SELECT a.vec_id,
+       CAST(a.cell AS BIGINT) AS cell,
+       r.vb IS NULL AS kept
+FROM assign a LEFT JOIN removed r ON a.vec_id = r.vb
+"""
+
+
+@register("semantic_dedup", oracle=_SEMANTIC_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector annotated with its cluster cell and whether semantic
+    dedup keeps it (smallest vec_id per in-cell near-dup group)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
+    cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("d", _dot("emb", "cemb"))
+        .groupBy("vec_id", "emb", "nrm")
+        .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))
+        .select("vec_id", "emb", "nrm", F.col("top.cid").alias("cell"))
+    )
+
+    a, b = assign.alias("a"), assign.alias("b")
+    cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
+    removed = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= SEM_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+
+    return (
+        assign.join(removed, assign["vec_id"] == removed["vb"], "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("vb").isNull().alias("kept"),
+        )
+    )

@@ -82,6 +82,11 @@ def load_all() -> None:
         setops,
     )
 
+    # new in round 4 — needs its first driver row, so it precedes the
+    # already-double-green families (but after the parity re-check set)
+    from .dedup import semantic  # noqa: F401
+    from .text import analysis as _analysis_r4  # noqa: F401  (bpe_token_count)
+
     # remainder: pipeline families, driver-green in r2+r3
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
     from .text import (  # noqa: F401

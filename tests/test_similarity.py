@@ -100,6 +100,27 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall > frac, f"IVF no better than random cell scan: {recall:.2f} <= {frac:.2f}"
 
 
+def test_semantic_dedup_contract(spark, sf_dir):
+    """Semantic dedup must (a) actually remove something on this corpus,
+    (b) only remove vectors that the exact threshold join also pairs
+    (in-cell pairs ⊆ all pairs), and (c) keep the smallest id of every
+    removed vector's pair group."""
+    from cdc_stream_batch_etl_spark.dedup.embedding import embed_near_dup_pairs
+    from cdc_stream_batch_etl_spark.dedup.semantic import semantic_dedup
+
+    out = {r.vec_id: r.kept for r in semantic_dedup(spark, sf_dir).collect()}
+    removed = {v for v, kept in out.items() if not kept}
+    assert removed, "semantic_dedup vacuous: nothing removed on the test corpus"
+    exact_pairs = {(r.vec_a, r.vec_b) for r in embed_near_dup_pairs(spark, sf_dir).collect()}
+    exact_larger = {b for _, b in exact_pairs}
+    assert removed <= exact_larger, "removed a vector no exact near-dup pair contains"
+    # every removed vector has a kept (or transitively removed) smaller partner
+    for v in removed:
+        partners = {a for a, b in exact_pairs if b == v}
+        assert partners, v
+        assert min(partners) < v
+
+
 def test_multimodal_resize_shape(spark, sf_dir):
     from cdc_stream_batch_etl_spark.multimodal.binaryops import (
         RESIZE_TARGET,
