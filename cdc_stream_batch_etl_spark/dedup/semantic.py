@@ -10,10 +10,15 @@ ladder: exact → prefix → n-gram → MinHash → SimHash → embedding-pairs 
 semantic (clustered).
 
 Deterministic re-expression (fully DuckDB-oracled, like the IVF family):
-- clusters come from the stride-sampled coarse quantizer shared with
-  similarity/ivf.py (``vec_id % CENTROID_STRIDE == 0`` stands in for
-  k-means; assignment = argmax dot, ties to the larger centroid id via
-  lexicographic struct-max — the exact IVF convention);
+- clusters come from a stride-sampled coarse quantizer (IVF's
+  ``vec_id % stride == 0`` convention, similarity/ivf.py), but with an
+  ADAPTIVE stride ``max(32, ceil(sqrt(N)))`` so the centroid count grows
+  as √N, not N: with K ∝ N (a constant stride) the broadcast assignment
+  is N×K ≈ quadratic WORK even though the plan shape is linear — the ×8
+  scaling probe measured it (SCALING.md). K ∝ √N balances assignment
+  (N^1.5) against the in-cell pair stage (N × cell ≈ N^1.5), the
+  classic IVF sizing. Assignment = argmax dot, ties to the larger
+  centroid id via lexicographic struct-max — the exact IVF convention;
 - within a cell, pairs with cosine ≥ SEM_THRESHOLD mark the LARGER
   vec_id as removed (the clean_corpus / minhash prune convention), so
   every group keeps its smallest id — order-free and engine-neutral.
@@ -36,9 +41,9 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from ..similarity.ann import _dot
-from ..similarity.ivf import CENTROID_STRIDE
 
 SEM_THRESHOLD = 0.40  # isotropic synthetic corpus; ~0.95 on a real one
+MIN_STRIDE = 32  # floor keeps tiny fixtures at the IVF default
 
 _DOT = "list_dot_product({a}, {b})"
 _COS = (
@@ -50,7 +55,8 @@ _SEMANTIC_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), cent AS (
-  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {CENTROID_STRIDE} = 0
+  SELECT vec_id AS cid, emb AS cemb FROM e
+  WHERE vec_id % (SELECT greatest({MIN_STRIDE}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e) = 0
 ), assign AS (
   SELECT vec_id, emb,
          (max(struct_pack(d := {_DOT.format(a="emb", b="cemb")}, cid := cid))).cid AS cell
@@ -78,8 +84,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
-    cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    # adaptive stride (K ∝ √N centroids): a 1-row broadcast, the same
+    # idiom as the exact-percentile threshold joins elsewhere
+    stride = e.agg(
+        F.greatest(F.lit(MIN_STRIDE), F.ceil(F.sqrt(F.count("*")))).cast("bigint").alias("stride")
+    )
+    cent = (
+        e.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     )
 
     assign = (

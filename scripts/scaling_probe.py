@@ -28,7 +28,7 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "doc_token_stats", "dedup_exact", "top_parts_per_brand",
           "customers_without_orders",
           "span_dedup_coverage", "doc_chunks", "doc_lm_score", "term_postings",
-          "embedding_quantize"]
+          "embedding_quantize", "semantic_dedup"]
 TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings"}
 
 
@@ -114,7 +114,15 @@ def main() -> None:
         "  drift ±0.3 between runs. Read them as linear/sublinear/superlinear",
         "  classes, not precise slopes.",
     ]
-    Path("/root/repo/SCALING.md").write_text("\n".join(lines) + "\n")
+    # preserve hand-written analysis sections ("## ..." blocks) appended
+    # below the generated table in previous rounds
+    md = Path("/root/repo/SCALING.md")
+    if md.exists():
+        old = md.read_text()
+        idx = old.find("\n## ")
+        if idx != -1:
+            lines.append(old[idx:].rstrip("\n"))
+    md.write_text("\n".join(lines) + "\n")
     shutil.rmtree(out, ignore_errors=True)
     print("wrote SCALING.md")
 
