@@ -41,9 +41,9 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from ..similarity.ann import _dot
+from ..similarity.ivf import adaptive_stride_sql, centroids
 
 SEM_THRESHOLD = 0.40  # isotropic synthetic corpus; ~0.95 on a real one
-MIN_STRIDE = 32  # floor keeps tiny fixtures at the IVF default
 
 _DOT = "list_dot_product({a}, {b})"
 _COS = (
@@ -56,7 +56,7 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), cent AS (
   SELECT vec_id AS cid, emb AS cemb FROM e
-  WHERE vec_id % (SELECT greatest({MIN_STRIDE}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e) = 0
+  WHERE vec_id % {adaptive_stride_sql("e")} = 0
 ), assign AS (
   SELECT vec_id, emb,
          (max(struct_pack(d := {_DOT.format(a="emb", b="cemb")}, cid := cid))).cid AS cell
@@ -84,16 +84,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
-    # adaptive stride (K ∝ √N centroids): a 1-row broadcast, the same
-    # idiom as the exact-percentile threshold joins elsewhere
-    stride = e.agg(
-        F.greatest(F.lit(MIN_STRIDE), F.ceil(F.sqrt(F.count("*")))).cast("bigint").alias("stride")
-    )
-    cent = (
-        e.crossJoin(F.broadcast(stride))
-        .filter(F.col("vec_id") % F.col("stride") == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-    )
+    cent = centroids(e.select("vec_id", "emb"))
 
     assign = (
         e.crossJoin(F.broadcast(cent))

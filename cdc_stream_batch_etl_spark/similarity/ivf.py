@@ -7,8 +7,13 @@ the data distribution (centroids live where vectors are), LSH is
 data-independent.
 
 Determinism (and hence a full DuckDB oracle, unlike typical ANN):
-- centroids are the vectors with vec_id % CENTROID_STRIDE == 0 — a
-  deterministic reservoir standing in for k-means (which would converge
+- centroids are the vectors with vec_id % stride == 0, where stride is
+  ADAPTIVE: max(CENTROID_STRIDE, ceil(√N)) — K ∝ √N centroids, the
+  classic IVF sizing that balances assignment (N·K = N^1.5) against
+  per-cell scan cost (N/K rows per cell). A constant stride makes K ∝ N
+  and assignment quadratic WORK — the ×8 scaling probe caught exactly
+  that on semantic_dedup (SCALING.md) before both were switched. The
+  deterministic reservoir stands in for k-means (which would converge
   data-dependently; the *search* structure is identical);
 - cell assignment = argmax dot(v, centroid), ties to the larger centroid
   id via lexicographic struct max — same rule both engines;
@@ -30,10 +35,32 @@ from ..catalog import load_table
 from ..registry import register
 from .ann import N_QUERIES, TOP_K, _dot
 
-CENTROID_STRIDE = 32  # ~N/32 centroids
+CENTROID_STRIDE = 32  # stride FLOOR (also the fixed stride for pq/kmeans codebooks)
 NPROBE = 4
 
 _DOT = "list_dot_product({a}, {b})"
+
+
+def adaptive_stride_sql(rel: str = "e") -> str:
+    """DuckDB scalar subquery: the K ∝ √N centroid stride over ``rel``."""
+    return f"(SELECT greatest({CENTROID_STRIDE}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM {rel})"
+
+
+def centroids(e: DataFrame) -> DataFrame:
+    """(cid, cemb) — adaptive-stride deterministic centroid reservoir.
+
+    The stride is a 1-row broadcast (the exact-percentile-threshold
+    idiom), so centroid selection is one corpus scan with no collect."""
+    stride = e.agg(
+        F.greatest(F.lit(CENTROID_STRIDE), F.ceil(F.sqrt(F.count("*"))))
+        .cast("bigint")
+        .alias("stride")
+    )
+    return (
+        e.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    )
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -47,7 +74,7 @@ _IVF_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), cent AS (
-  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {CENTROID_STRIDE} = 0
+  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {adaptive_stride_sql("e")} = 0
 ), assign AS (
   SELECT vec_id, label, emb,
          (max(struct_pack(d := {_DOT.format(a="emb", b="cemb")}, cid := cid))).cid AS cell
@@ -88,9 +115,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
-    cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
-    )
+    cent = centroids(e.select("vec_id", "emb"))
 
     # cell assignment: broadcast the ~√N centroids, one corpus scan,
     # argmax via lexicographic struct max (ties → larger cid, both engines)

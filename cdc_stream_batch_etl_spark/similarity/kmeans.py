@@ -10,7 +10,10 @@ each iteration is the same plan and one is fully DuckDB-oracle-able
 is a pure function of the input).
 
 Determinism rules (shared with ivf.py / centroids.py):
-- init centroids: vec_id % CENTROID_STRIDE == 0 (deterministic reservoir);
+- init centroids: vec_id % CENTROID_STRIDE == 0 (deterministic reservoir;
+  fixed stride — a production k-means picks K from the problem, not the
+  corpus size, so K here deliberately does not scale with N the way
+  IVF's adaptive √N stride does);
 - assignment: argmin squared-L2, computed as dot(v,v) - 2*dot(v,c) +
   dot(c,c) with the SAME left-fold dot both engines, ties to smaller
   centroid id via struct min;

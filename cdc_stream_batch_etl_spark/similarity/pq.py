@@ -14,7 +14,12 @@ ANN memory-feasible.
 Determinism (full DuckDB oracle, unusual for PQ): codebooks come from
 the same stride-sampled deterministic reservoir as IVF's coarse
 quantizer (similarity/ivf.py — vec_id % CENTROID_STRIDE == 0 stands in
-for k-means; the search structure is identical), assignment ties break
+for k-means; the search structure is identical — note the FIXED stride
+here, unlike IVF's adaptive √N one: a production PQ codebook has a
+CONSTANT K per subspace (256 for 8-bit codes) trained offline on a
+sample, so encode cost is N×K with K fixed — K must NOT scale with the
+corpus, and at this fixture's scale the fixed stride models exactly
+that), assignment ties break
 to the smaller centroid id via lexicographic struct-min, and every
 distance folds its squared terms in index order (zip_with + 0.0-seed
 fold ≡ DuckDB list comprehension + list_reduce, see centroids.py).

@@ -91,8 +91,11 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     )
     from cdc_stream_batch_etl_spark.catalog import load_table
 
+    import math
+
     n = load_table(spark, sf_dir, "embeddings").count()
-    n_centroids = max(1, n // CENTROID_STRIDE)
+    stride = max(CENTROID_STRIDE, math.ceil(math.sqrt(n)))
+    n_centroids = max(1, n // stride)
     exact = {(r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, sf_dir).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
