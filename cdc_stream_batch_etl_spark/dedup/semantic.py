@@ -92,6 +92,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "emb", "nrm")
         .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))
         .select("vec_id", "emb", "nrm", F.col("top.cid").alias("cell"))
+        # consumed 3x (both pair sides + the final annotation join);
+        # truncate lineage so the N x K assignment runs once, not thrice
+        # (lazy localCheckpoint, GC-cleaned — the lm.py/spans.py idiom)
+        .localCheckpoint(eager=False)
     )
 
     a, b = assign.alias("a"), assign.alias("b")
