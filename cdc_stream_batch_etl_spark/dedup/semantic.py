@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ..similarity.ann import _dot
-from ..similarity.ivf import adaptive_stride_sql, centroids
+from ..similarity.linalg import adaptive_stride_sql, centroids
+from ..similarity.linalg import dot as _dot
 
 SEM_THRESHOLD = 0.40  # isotropic synthetic corpus; ~0.95 on a real one
 

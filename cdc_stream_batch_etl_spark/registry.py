@@ -61,7 +61,14 @@ def load_all() -> None:
     # positions 1-3: the never-driver-checked trio
     from .operators import funnel, monitoring  # noqa: F401
 
-    # positions 4-53: the reference-parity set (last driver-checked in r1)
+    # positions 4-5: new in round 4, first driver rows needed
+    from .dedup import semantic  # noqa: F401
+    from .text import bpe  # noqa: F401
+
+    # next ~50: the reference-parity set (last driver-checked in r1).
+    # The driver window is ~50 entries, so its tail (the yoy/cube/pivot
+    # queries, none of which touch the events.ts normalization that
+    # motivated this re-check) stays on r1 evidence until r5.
     from . import operators  # noqa: F401
     from .operators import (  # noqa: F401
         segments,
@@ -81,11 +88,6 @@ def load_all() -> None:
         relational,
         setops,
     )
-
-    # new in round 4 — needs its first driver row, so it precedes the
-    # already-double-green families (but after the parity re-check set)
-    from .dedup import semantic  # noqa: F401
-    from .text import analysis as _analysis_r4  # noqa: F401  (bpe_token_count)
 
     # remainder: pipeline families, driver-green in r2+r3
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401

@@ -35,32 +35,13 @@ from ..catalog import load_table
 from ..registry import register
 from .ann import N_QUERIES, TOP_K, _dot
 
-CENTROID_STRIDE = 32  # stride FLOOR (also the fixed stride for pq/kmeans codebooks)
+# shared, registration-free helpers live in linalg.py; re-exported here
+# because pq/kmeans/tests historically import them from this module
+from .linalg import CENTROID_STRIDE, adaptive_stride_sql, centroids  # noqa: F401
+
 NPROBE = 4
 
 _DOT = "list_dot_product({a}, {b})"
-
-
-def adaptive_stride_sql(rel: str = "e") -> str:
-    """DuckDB scalar subquery: the K ∝ √N centroid stride over ``rel``."""
-    return f"(SELECT greatest({CENTROID_STRIDE}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM {rel})"
-
-
-def centroids(e: DataFrame) -> DataFrame:
-    """(cid, cemb) — adaptive-stride deterministic centroid reservoir.
-
-    The stride is a 1-row broadcast (the exact-percentile-threshold
-    idiom), so centroid selection is one corpus scan with no collect."""
-    stride = e.agg(
-        F.greatest(F.lit(CENTROID_STRIDE), F.ceil(F.sqrt(F.count("*"))))
-        .cast("bigint")
-        .alias("stride")
-    )
-    return (
-        e.crossJoin(F.broadcast(stride))
-        .filter(F.col("vec_id") % F.col("stride") == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-    )
 
 
 def _cos_sql(a: str, b: str) -> str:
