@@ -10,10 +10,11 @@ each iteration is the same plan and one is fully DuckDB-oracle-able
 is a pure function of the input).
 
 Determinism rules (shared with ivf.py / centroids.py):
-- init centroids: vec_id % CENTROID_STRIDE == 0 (deterministic reservoir;
-  fixed stride — a production k-means picks K from the problem, not the
-  corpus size, so K here deliberately does not scale with N the way
-  IVF's adaptive √N stride does);
+- init centroids: deterministic reservoir with a CONSTANT-K stride
+  (vec_id % max(32, ceil(N/256)) == 0, linalg.fixed_k_centroids) — a
+  production k-means picks K from the problem, not the corpus size, so
+  at scale the STRIDE grows with N and K stays capped; at fixture SFs
+  the floor makes it the historical stride-32 reservoir;
 - assignment: argmin squared-L2, computed as dot(v,v) - 2*dot(v,c) +
   dot(c,c) with the SAME left-fold dot both engines, ties to smaller
   centroid id via struct min;
@@ -35,7 +36,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .ann import _dot
-from .ivf import CENTROID_STRIDE
+from .linalg import fixed_k_centroids, fixed_k_stride_sql
 
 _DOT = "list_dot_product({a}, {b})"
 
@@ -43,7 +44,7 @@ _KMEANS_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), cent AS (
-  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {CENTROID_STRIDE} = 0
+  SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {fixed_k_stride_sql("e")} = 0
 ), assign AS (
   SELECT vec_id, emb,
          (min(struct_pack(
@@ -70,9 +71,7 @@ GROUP BY cell, pos
 def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
-    )
+    cent = fixed_k_centroids(e)
     d2 = _dot("emb", "emb") - 2 * _dot("emb", "cemb") + _dot("cemb", "cemb")
     assign = (
         e.crossJoin(F.broadcast(cent))

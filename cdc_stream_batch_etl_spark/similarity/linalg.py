@@ -29,6 +29,36 @@ def adaptive_stride_sql(rel: str = "e") -> str:
     return f"(SELECT greatest({CENTROID_STRIDE}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM {rel})"
 
 
+#: constant codebook/cluster count at scale: PQ codes are 8-bit (K=256 per
+#: subspace) and k-means K is a modeling constant — for these, K must NOT
+#: grow with the corpus, so the STRIDE scales with N instead (K capped)
+K_CODEBOOK = 256
+
+
+def fixed_k_stride_sql(rel: str = "e", k: int = K_CODEBOOK) -> str:
+    """DuckDB scalar subquery: stride that caps the reservoir at ~k rows
+    (stride ∝ N ⇒ K constant; floor keeps tiny fixtures at the default)."""
+    return (
+        f"(SELECT greatest({CENTROID_STRIDE}, CAST(ceil(count(*) / {k}.0) AS BIGINT)) "
+        f"FROM {rel})"
+    )
+
+
+def fixed_k_centroids(e: DataFrame, k: int = K_CODEBOOK) -> DataFrame:
+    """(cid, cemb) — reservoir capped at ~k rows (the constant-K twin of
+    ``centroids``; same 1-row-broadcast stride idiom)."""
+    stride = e.agg(
+        F.greatest(F.lit(CENTROID_STRIDE), F.ceil(F.count("*") / F.lit(float(k))))
+        .cast("bigint")
+        .alias("stride")
+    )
+    return (
+        e.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    )
+
+
 def centroids(e: DataFrame) -> DataFrame:
     """(cid, cemb) — adaptive-stride deterministic centroid reservoir
     over a (vec_id, emb) frame.

@@ -12,14 +12,13 @@ approximate distance to any corpus vector is just M table lookups summed
 ANN memory-feasible.
 
 Determinism (full DuckDB oracle, unusual for PQ): codebooks come from
-the same stride-sampled deterministic reservoir as IVF's coarse
-quantizer (similarity/ivf.py — vec_id % CENTROID_STRIDE == 0 stands in
-for k-means; the search structure is identical — note the FIXED stride
-here, unlike IVF's adaptive √N one: a production PQ codebook has a
-CONSTANT K per subspace (256 for 8-bit codes) trained offline on a
-sample, so encode cost is N×K with K fixed — K must NOT scale with the
-corpus, and at this fixture's scale the fixed stride models exactly
-that), assignment ties break
+the stride-sampled deterministic reservoir family (similarity/linalg.py
+— standing in for k-means; the search structure is identical) with the
+CONSTANT-K stride max(32, ceil(N/256)): a production PQ codebook has a
+fixed K per subspace (256 for 8-bit codes) trained offline, so encode
+cost is N×K with K capped — K must NOT scale with the corpus (the
+hazard the ×8 scaling probe caught on constant-stride reservoirs,
+SCALING.md). Assignment ties break
 to the smaller centroid id via lexicographic struct-min, and every
 distance folds its squared terms in index order (zip_with + 0.0-seed
 fold ≡ DuckDB list comprehension + list_reduce, see centroids.py).
@@ -43,7 +42,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .ann import N_QUERIES, TOP_K
-from .ivf import CENTROID_STRIDE
+from .linalg import fixed_k_centroids, fixed_k_stride_sql
 
 M_SUB = 8  # subspaces
 SUB_D = 8  # dims per subspace (64-dim embeddings)
@@ -65,7 +64,7 @@ _CODEBOOK_SQL = f"""
   SELECT m, vec_id AS cid,
          CAST(embedding AS DOUBLE[])[m * {SUB_D} + 1 : m * {SUB_D} + {SUB_D}] AS cvec
   FROM embeddings, (SELECT unnest(range({M_SUB})) AS m) u
-  WHERE vec_id % {CENTROID_STRIDE} = 0
+  WHERE vec_id % {fixed_k_stride_sql("embeddings")} = 0
 """
 
 _SUBVECS_SQL = f"""
@@ -93,10 +92,13 @@ GROUP BY vec_id
 
 
 def _codebook(emb: DataFrame) -> DataFrame:
-    """(m, cid, cvec) — M_SUB rows per sampled centroid vector."""
+    """(m, cid, cvec) — M_SUB rows per sampled centroid vector (capped-K
+    reservoir: K ≤ 256 codes per subspace no matter the corpus size)."""
+    sampled = fixed_k_centroids(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
     return (
-        emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("emb"))
+        sampled.select(F.col("cid"), F.col("cemb").alias("emb"))
         .select("cid", F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"), "emb")
         .select("m", "cid", F.expr(_sub_expr("emb", "m")).alias("cvec"))
     )

@@ -39,6 +39,37 @@ def test_rows_only_declaration_matches_registry():
 
 
 # ---------------------------------------------------------------------------
+# centroid stride policies: K ∝ √N for IVF-style cells, K capped for
+# codebooks — both must actually engage above the stride-32 floor
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_stride_policies(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdc_stream_batch_etl_spark.similarity.linalg import (
+        CENTROID_STRIDE,
+        K_CODEBOOK,
+        centroids,
+        fixed_k_centroids,
+    )
+
+    for n in (500, 40_000, 200_000):
+        e = spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("emb")
+        )
+        k_adaptive = centroids(e).count()
+        stride = max(CENTROID_STRIDE, math.ceil(math.sqrt(n)))
+        assert k_adaptive == len(range(0, n, stride))
+        k_fixed = fixed_k_centroids(e).count()
+        assert k_fixed <= K_CODEBOOK + 1
+        if n >= CENTROID_STRIDE * K_CODEBOOK:
+            assert k_fixed >= K_CODEBOOK * 0.9, "cap engaged far below target K"
+
+
+# ---------------------------------------------------------------------------
 # catalog.py events.ts physical-type guard
 # ---------------------------------------------------------------------------
 
