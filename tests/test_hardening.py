@@ -151,6 +151,51 @@ def test_bmp_decode_adversarial_raises_valueerror(payload, msg):
 
 
 # ---------------------------------------------------------------------------
+# text_normalize with planted messy text (the driver corpus is already
+# normalized, so the fixture-SF oracle row passes at changed=0 — vacuous)
+# ---------------------------------------------------------------------------
+
+
+def test_text_normalize_planted(spark, sf_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_stream_batch_etl_spark.text.normalize import _NORMALIZE_ORACLE, text_normalize
+
+    planted = tmp_path / "sf_norm"
+    planted.mkdir()
+    rows = [
+        (1, "  Leading and TRAILING  ", "en", "a", 24),
+        (2, "double  spaces\tand tabs", "en", "a", 23),
+        (3, "already clean", "en", "a", 13),
+        (4, "MiXeD CaSe", "en", "a", 10),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        str(planted / "documents.parquet"),
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", planted / f"{t}.parquet")
+
+    df = text_normalize(spark, str(planted))
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[1].norm_text == "leading and trailing"
+    assert got[2].norm_text == "double spaces and tabs"
+    assert got[3].changed is False and got[4].changed is True
+    assert got[1].n_chars_removed == 4
+    assert_df_matches(df, run_oracle(_NORMALIZE_ORACLE, str(planted)))
+
+
+# ---------------------------------------------------------------------------
 # source_overlap with planted cross-shard duplicates
 # ---------------------------------------------------------------------------
 
