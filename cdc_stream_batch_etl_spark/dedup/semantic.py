@@ -27,10 +27,16 @@ Scale shape (the reason SemDeDup exists): assignment is a broadcast of
 ~N/STRIDE centroids against one corpus scan + a vec-keyed argmax
 shuffle; the pair stage self-joins on the CELL key only, so its cost is
 sum over cells of |cell|² — with k ∝ N clusters this is O(N·avg_cell),
-not O(N²). Skewed cells are split by AQE skew-join handling; at a real
-100 TB scale k-means centroids would replace the stride sample with no
-plan change. Output is corpus-sized (every vector annotated kept/
-removed), never collected.
+not O(N²). A DATA-dependent degenerate cell (a near-duplicate storm
+collapsing into one cluster) would still be quadratic, so the pair
+stage is capped at MAX_CELL rows per cell (the dedup/minhash.py
+MAX_BUCKET precedent): rows past the cap FAIL OPEN (stay kept) rather
+than exploding the join — conservative for training data, and the cap
+never binds at fixture scale (cells ≈ √N ≪ MAX_CELL), so the oracle
+mirrors it exactly. Skewed-but-under-cap cells are split by AQE skew
+handling; at a real 100 TB scale k-means centroids would replace the
+stride sample with no plan change. Output is corpus-sized (every vector
+annotated kept/removed), never collected.
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ from ..similarity.linalg import adaptive_stride_sql, centroids
 from ..similarity.linalg import dot as _dot
 
 SEM_THRESHOLD = 0.40  # isotropic synthetic corpus; ~0.95 on a real one
+MAX_CELL = 4096  # pair-stage cap per cell; ≫ √N cell sizes, binds only on degenerate skew
 
 _DOT = "list_dot_product({a}, {b})"
 _COS = (
@@ -62,10 +69,15 @@ WITH e AS (
          (max(struct_pack(d := {_DOT.format(a="emb", b="cemb")}, cid := cid))).cid AS cell
   FROM e CROSS JOIN cent
   GROUP BY vec_id, emb
+), capped AS (
+  SELECT vec_id, emb, cell,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+  FROM assign
 ), pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
-  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {_COS} >= {SEM_THRESHOLD}
+  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.rk <= {MAX_CELL} AND b.rk <= {MAX_CELL}
+    AND {_COS} >= {SEM_THRESHOLD}
 ), removed AS (
   SELECT DISTINCT vb FROM pairs
 )
@@ -98,7 +110,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    a, b = assign.alias("a"), assign.alias("b")
+    from pyspark.sql import Window
+
+    capped = assign.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
+    ).filter(F.col("rk") <= MAX_CELL)
+    a, b = capped.alias("a"), capped.alias("b")
     cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
     removed = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
