@@ -90,8 +90,10 @@ def load_all() -> None:
     )
 
     # remainder: pipeline families, driver-green in r2+r3 (plus
-    # text_normalize, new in r4 past the window — first row in r5)
+    # text_normalize and embedding_outliers, new in r4 past the window —
+    # first rows in r5)
     from .text import normalize  # noqa: F401
+    from .similarity import outliers  # noqa: F401
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
     from .text import (  # noqa: F401
         analysis,

@@ -196,6 +196,65 @@ def test_text_normalize_planted(spark, sf_dir, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# embedding_outliers with planted corrupt vectors (the isotropic driver
+# corpus never crosses z=2 — max observed z ≈ 1.35 — so fixture-SF runs
+# flag nothing; this plants zeroed vectors that must flag)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_outliers_planted(spark, sf_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_stream_batch_etl_spark.similarity.outliers import (
+        _OUTLIERS_ORACLE,
+        embedding_outliers,
+    )
+
+    planted = tmp_path / "sf_emb"
+    planted.mkdir()
+    dim = 8
+    vecs, labels = [], []
+    for vid in range(120):
+        if vid in (37, 95):
+            # corrupt: wrong-scale rows (e.g. un-normalized wrong-model
+            # embeddings) — same direction so they assign to the main
+            # cell, but far from the centroid
+            vecs.append([3.0] * dim)
+        else:
+            # tight cluster around an all-ones direction with a small
+            # deterministic per-vector wobble
+            vecs.append([1.0 + 0.001 * ((vid * (j + 3)) % 7) for j in range(dim)])
+        labels.append(vid % 4)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(120), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+                "label": pa.array(labels, pa.int64()),
+            }
+        ),
+        str(planted / "embeddings.parquet"),
+    )
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{sf_dir}/{t}.parquet", planted / f"{t}.parquet")
+
+    df = embedding_outliers(spark, str(planted))
+    flagged = {r.vec_id for r in df.filter("is_outlier").collect()}
+    assert {37, 95} <= flagged, f"corrupt vectors not flagged: {flagged}"
+    assert len(flagged) <= 6, f"overly trigger-happy screen: {flagged}"
+    # the n_cell companion column (the docstring's tiny-cell guard) must
+    # be the true member count of each cell
+    rows = df.collect()
+    true_counts = {}
+    for r in rows:
+        true_counts[r.cell] = true_counts.get(r.cell, 0) + 1
+    assert all(r.n_cell == true_counts[r.cell] for r in rows)
+    assert_df_matches(df, run_oracle(_OUTLIERS_ORACLE, str(planted)))
+
+
+# ---------------------------------------------------------------------------
 # source_overlap with planted cross-shard duplicates
 # ---------------------------------------------------------------------------
 
