@@ -94,6 +94,7 @@ def load_all() -> None:
     # first rows in r5)
     from .text import normalize  # noqa: F401
     from .similarity import outliers  # noqa: F401
+    from .multimodal import audioops  # noqa: F401
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
     from .text import (  # noqa: F401
         analysis,

@@ -151,6 +151,49 @@ def test_bmp_decode_adversarial_raises_valueerror(payload, msg):
 
 
 # ---------------------------------------------------------------------------
+# wav_decode adversarial payloads (the audio twin of the BMP tests)
+# ---------------------------------------------------------------------------
+
+
+def _wav_with(dlen: int, body_len: int, tag: int = 1, n_ch: int = 1, bits: int = 16) -> bytes:
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + body_len, b"WAVE", b"fmt ", 16,
+        tag, n_ch, 8000, 16000, 2, bits, b"data", dlen,
+    )
+    return hdr + b"\x00" * body_len
+
+
+def test_wav_decode_roundtrip_ok():
+    import numpy as np
+
+    from cdc_stream_batch_etl_spark.multimodal.audioops import wav_decode, wav_encode
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    assert np.array_equal(wav_decode(wav_encode(s)), s)
+
+
+@pytest.mark.parametrize(
+    "payload, msg",
+    [
+        (b"", "truncated"),
+        (b"RIFF" + b"\x00" * 20, "truncated"),
+        (b"RIFX" + b"\x00" * 60, "not a canonical WAV"),
+        (_wav_with(dlen=8, body_len=8, tag=3), "unsupported WAV variant"),  # float PCM
+        (_wav_with(dlen=8, body_len=8, n_ch=2), "unsupported WAV variant"),
+        (_wav_with(dlen=8, body_len=8, bits=8), "unsupported WAV variant"),
+        (_wav_with(dlen=100, body_len=8), "out of bounds"),  # dlen past payload
+        (_wav_with(dlen=7, body_len=8), "out of bounds"),  # odd dlen for int16
+    ],
+)
+def test_wav_decode_adversarial_raises_valueerror(payload, msg):
+    from cdc_stream_batch_etl_spark.multimodal.audioops import wav_decode
+
+    with pytest.raises(ValueError, match=msg):
+        wav_decode(payload)
+
+
+# ---------------------------------------------------------------------------
 # text_normalize with planted messy text (the driver corpus is already
 # normalized, so the fixture-SF oracle row passes at changed=0 — vacuous)
 # ---------------------------------------------------------------------------
