@@ -95,6 +95,7 @@ def load_all() -> None:
     from .text import normalize  # noqa: F401
     from .similarity import outliers  # noqa: F401
     from .multimodal import audioops  # noqa: F401
+    from .text import funnel_gates  # noqa: F401
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
     from .text import (  # noqa: F401
         analysis,

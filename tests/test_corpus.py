@@ -45,3 +45,20 @@ def test_clean_corpus_scale_mode_identical_and_fewer_scans(spark, sf_dir):
     p_default, p_scale = profile(default), profile(scale)
     assert p_scale.scans <= 6  # survivors checkpointed, consumers reuse
     assert p_scale.scans < p_default.scans
+
+
+def test_gate_funnel_consistent_with_clean_corpus(spark, sf_dir):
+    """The funnel's stage counts must be monotonically non-increasing and
+    agree with clean_corpus: its exact-dedup survivor count minus the
+    LSH-removed docs is exactly what clean_corpus returns."""
+    from cdc_stream_batch_etl_spark.text.funnel_gates import corpus_gate_funnel
+
+    stages = {r.stage: r for r in corpus_gate_funnel(spark, sf_dir).collect()}
+    order = ["ingest", "quality_gate", "lang_gate", "exact_dedup"]
+    counts = [stages[s].n_docs for s in order]
+    assert counts == sorted(counts, reverse=True)
+    for prev, cur in zip(order, order[1:]):
+        assert stages[cur].n_removed == stages[prev].n_docs - stages[cur].n_docs
+    clean_n = clean_corpus(spark, sf_dir).count()
+    assert clean_n <= stages["exact_dedup"].n_docs
+    assert stages["ingest"].survivor_ratio == 1.0
