@@ -88,6 +88,50 @@ FROM assign a LEFT JOIN removed r ON a.vec_id = r.vb
 """
 
 
+_CELL_STATS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, emb AS cemb FROM e
+  WHERE vec_id % {adaptive_stride_sql("e")} = 0
+), assign AS (
+  SELECT vec_id,
+         (max(struct_pack(d := {_DOT.format(a="emb", b="cemb")}, cid := cid))).cid AS cell
+  FROM e CROSS JOIN cent
+  GROUP BY vec_id, emb
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       count(*) AS n_cell,
+       CAST(least(count(*), {MAX_CELL}) AS BIGINT) AS n_compared,
+       CAST(greatest(count(*) - {MAX_CELL}, 0) AS BIGINT) AS n_skipped
+FROM assign GROUP BY cell
+"""
+
+
+@register("semantic_cell_stats", oracle=_CELL_STATS_ORACLE)
+def semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap observability for semantic_dedup (the lsh_bucket_stats
+    convention — a bounded plan must REPORT what it dropped): per cell,
+    the member count, how many rows the MAX_CELL-capped pair stage
+    actually compares, and how many it skips (fail-open rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    cent = centroids(e)
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("d", _dot("emb", "cemb"))
+        .groupBy("vec_id", "emb")
+        .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))
+        .select("vec_id", F.col("top.cid").alias("cell"))
+    )
+    n = F.count("*")
+    return assign.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        n.alias("n_cell"),
+        F.least(n, F.lit(MAX_CELL)).cast("bigint").alias("n_compared"),
+        F.greatest(n - MAX_CELL, F.lit(0)).cast("bigint").alias("n_skipped"),
+    )
+
+
 @register("semantic_dedup", oracle=_SEMANTIC_ORACLE)
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector annotated with its cluster cell and whether semantic
