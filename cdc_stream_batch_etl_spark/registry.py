@@ -54,9 +54,16 @@ def load_all() -> None:
               pipeline queries green (ann_lsh_topk declared rows-only).
       r4 (now) — funnel/monitoring FIRST (the only three queries with no
               driver row in any round: conversion_funnel, retention_cohorts,
-              pipeline_health), then the parity set (re-verification under
-              the round-2 catalog.py timestamp normalization), then the
-              already-double-green pipeline families.
+              pipeline_health), then the two headline round-4 operators
+              (semantic_dedup, bpe_token_count), then the parity set
+              (re-verification under the round-2 catalog.py timestamp
+              normalization), then the already-double-green pipeline
+              families. The other round-4 additions (text_normalize,
+              embedding_outliers, multimodal_audio_stats,
+              corpus_gate_funnel, semantic_cell_stats) register past the
+              window and take their first driver rows in r5 — rotate them
+              to the front then, along with the parity tail
+              (active_customer_profile … order_priority_pivot).
     """
     # positions 1-3: the never-driver-checked trio
     from .operators import funnel, monitoring  # noqa: F401
