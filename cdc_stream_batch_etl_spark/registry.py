@@ -119,3 +119,4 @@ def load_all() -> None:
     from .multimodal import binaryops  # noqa: F401
     from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
     from .similarity import kmeans, quantize, pq  # noqa: F401
+    from .dedup import survivorship  # noqa: F401  (new in r4, past window — r5 rotation)
