@@ -120,3 +120,5 @@ def load_all() -> None:
     from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
     from .similarity import kmeans, quantize, pq  # noqa: F401
     from .dedup import survivorship  # noqa: F401  (new in r4, past window — r5 rotation)
+    from .operators import rangejoin  # noqa: F401  (new in r4, past window — r5 rotation)
+    from .text import sharding  # noqa: F401  (new in r4, past window — r5 rotation)
