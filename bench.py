@@ -52,6 +52,9 @@ HEADLINE: list[str] = [
     "embedding_quantize",
     "ann_pq_topk",
     "doc_lm_score",
+    "incremental_dedup",
+    "shard_manifest",
+    "purchase_context_window",
 ]
 
 

@@ -28,8 +28,10 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "doc_token_stats", "dedup_exact", "top_parts_per_brand",
           "customers_without_orders",
           "span_dedup_coverage", "doc_chunks", "doc_lm_score", "term_postings",
-          "embedding_quantize", "semantic_dedup", "ann_ivf_topk", "ann_pq_topk"]
-TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings"}
+          "embedding_quantize", "semantic_dedup", "ann_ivf_topk", "ann_pq_topk",
+          "incremental_dedup", "cluster_representatives", "shard_manifest",
+          "purchase_context_window"]
+TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings", "events"}
 
 
 def replicate(spark, n: int, out: str) -> None:
