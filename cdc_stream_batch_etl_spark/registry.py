@@ -123,3 +123,4 @@ def load_all() -> None:
     from .operators import rangejoin  # noqa: F401  (new in r4, past window — r5 rotation)
     from .text import sharding  # noqa: F401  (new in r4, past window — r5 rotation)
     from .text import importance  # noqa: F401  (new in r4, past window — r5 rotation)
+    from .text import classifier  # noqa: F401  (new in r4, past window — r5 rotation)
