@@ -60,7 +60,10 @@ def load_all() -> None:
               normalization), then the already-double-green pipeline
               families. The other round-4 additions (text_normalize,
               embedding_outliers, multimodal_audio_stats,
-              corpus_gate_funnel, semantic_cell_stats) register past the
+              corpus_gate_funnel, semantic_cell_stats, and the late-r4
+              batch: cluster_representatives, incremental_dedup,
+              purchase_context_window, shard_manifest, dsir_importance,
+              quality_classifier) register past the
               window and take their first driver rows in r5 — rotate them
               to the front then, along with the parity tail
               (active_customer_profile … order_priority_pivot).

@@ -119,17 +119,44 @@ def _track(
     )
 
 
+def _track_batch(key: tuple[Any, ...], pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch twin of `_track`: cold single pass (no prior state, no
+    timeout machinery) with the SAME in-batch TTL-gap epoch logic —
+    Spark forbids applyInPandasWithState outside a stream."""
+    import numpy as np
+
+    (user_id,) = key
+    ts_all = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+    order = np.argsort(ts_all, kind="stable")
+    ts_sorted = ts_all[order]
+    val_sorted = pdf["value"].to_numpy()[order]
+    reset_pts = np.nonzero(np.diff(ts_sorted) > ACTIVITY_TTL_MS)[0] + 1
+    epoch_start = int(reset_pts[-1]) if reset_pts.size else 0
+    live_vals = val_sorted[epoch_start:]
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "order_count_today": [len(live_vals)],
+            "total_value_today": [round(float(live_vals.sum()), 2)],
+            "last_order_ts_ms": [int(ts_sorted[-1])],
+            "last_order_amount": [float(val_sorted[-1])],
+        }
+    )
+
+
 def customer_activity_stateful(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """A21/W3: running per-customer purchase activity with TTL state.
 
-    Works on a stream (update mode; state evicted by event-time timeout)
-    and on a batch frame (single pass, no prior state) with the same code.
+    Streaming: update mode, state evicted by event-time timeout. Batch:
+    the same epoch logic in a single cold pass via applyInPandas
+    (applyInPandasWithState is stream-only).
     """
     purchases = events.filter(events["event_type"] == "purchase").select(
         "user_id", "ts", "value"
     )
-    if purchases.isStreaming:
-        purchases = purchases.withWatermark("ts", watermark)
+    if not purchases.isStreaming:
+        return purchases.groupBy("user_id").applyInPandas(_track_batch, OUTPUT_SCHEMA)
+    purchases = purchases.withWatermark("ts", watermark)
     return purchases.groupBy("user_id").applyInPandasWithState(
         _track,
         outputStructType=OUTPUT_SCHEMA,

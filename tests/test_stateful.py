@@ -119,3 +119,23 @@ def test_in_batch_ttl_gap_resets_even_out_of_order(spark, tmp_path):
     # only the post-gap event survives in the running counters
     assert (final.order_count_today, final.total_value_today) == (1, 40.0)
     assert final.last_order_amount == 40.0
+
+
+def test_batch_frame_same_epoch_logic(spark):
+    """The batch path (applyInPandas — applyInPandasWithState is
+    stream-only) must apply the identical in-batch TTL-gap epoch logic:
+    pre-gap purchases drop out of the running counters."""
+    rows = [
+        _ev(9, 3 * 24 * 60, 40.0),
+        _ev(9, 0, 10.0),
+        _ev(9, 1, 20.0),
+        _ev(7, 5, 12.5),
+        _ev(7, 6, 2.5),
+        _ev(7, 7, 99.0, "view"),  # non-purchase excluded
+    ]
+    out = {r.user_id: r for r in customer_activity_stateful(
+        spark.createDataFrame(rows, SCHEMA)
+    ).collect()}
+    assert (out[9].order_count_today, out[9].total_value_today) == (1, 40.0)
+    assert (out[7].order_count_today, out[7].total_value_today) == (2, 15.0)
+    assert out[7].last_order_amount == 2.5
