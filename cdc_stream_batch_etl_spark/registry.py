@@ -63,7 +63,7 @@ def load_all() -> None:
               corpus_gate_funnel, semantic_cell_stats, and the late-r4
               batch: cluster_representatives, incremental_dedup,
               purchase_context_window, shard_manifest, dsir_importance,
-              quality_classifier) register past the
+              quality_classifier, source_semantic_diversity) register past the
               window and take their first driver rows in r5 — rotate them
               to the front then, along with the parity tail
               (active_customer_profile … order_priority_pivot).
@@ -127,3 +127,4 @@ def load_all() -> None:
     from .text import sharding  # noqa: F401  (new in r4, past window — r5 rotation)
     from .text import importance  # noqa: F401  (new in r4, past window — r5 rotation)
     from .text import classifier  # noqa: F401  (new in r4, past window — r5 rotation)
+    from .similarity import diversity  # noqa: F401  (new in r4, past window — r5 rotation)
