@@ -78,3 +78,23 @@ def test_incremental_dedup_statuses_partition_the_batch(spark, sf_dir):
         .distinct()
     )
     assert kept.join(base_digests, "content_md5", "left_semi").count() == 0
+
+
+def test_quality_classifier_decision_boundary_non_vacuous(spark, sf_dir):
+    """The fixed weights must actually split the fixture corpus — if every
+    doc lands on one side, the gate is decoration, not a filter."""
+    from cdc_stream_batch_etl_spark.text.classifier import quality_classifier
+
+    df = quality_classifier(spark, sf_dir)
+    kept = df.filter(F.col("keep")).count()
+    assert 0 < kept < df.count()
+
+
+def test_source_semantic_diversity_nonnegative(spark, sf_dir):
+    """E||x||^2 - ||Ex||^2 is a variance: negative values would mean the
+    two fold paths disagree."""
+    from cdc_stream_batch_etl_spark.similarity.diversity import source_semantic_diversity
+
+    df = source_semantic_diversity(spark, sf_dir)
+    assert df.filter(F.col("diversity") < 0).count() == 0
+    assert df.filter(F.col("n_docs") <= 0).count() == 0
