@@ -30,6 +30,8 @@ ORACLES: dict[str, str] = {}
 ROWS_ONLY: dict[str, str] = {
     "random_pick": "seeded-RNG pick is engine-specific; Spark-side determinism pytest-asserted",
     "ann_lsh_topk": "approximate LSH; recall floor pytest-gated vs the exact top-k",
+    "compression_gate": "DuckDB has no zlib/compress function; ratios pytest-gated "
+    "against directly-computed zlib golden values",
 }
 
 
@@ -63,7 +65,8 @@ def load_all() -> None:
               corpus_gate_funnel, semantic_cell_stats, and the late-r4
               batch: cluster_representatives, incremental_dedup,
               purchase_context_window, shard_manifest, dsir_importance,
-              quality_classifier, source_semantic_diversity) register past the
+              quality_classifier, source_semantic_diversity,
+              compression_gate) register past the
               window and take their first driver rows in r5 — rotate them
               to the front then, along with the parity tail
               (active_customer_profile … order_priority_pivot).
@@ -128,3 +131,4 @@ def load_all() -> None:
     from .text import importance  # noqa: F401  (new in r4, past window — r5 rotation)
     from .text import classifier  # noqa: F401  (new in r4, past window — r5 rotation)
     from .similarity import diversity  # noqa: F401  (new in r4, past window — r5 rotation)
+    from .text import compression  # noqa: F401  (new in r4, past window — r5 rotation)
