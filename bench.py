@@ -55,6 +55,10 @@ HEADLINE: list[str] = [
     "incremental_dedup",
     "shard_manifest",
     "purchase_context_window",
+    "dsir_importance",
+    "quality_classifier",
+    "source_semantic_diversity",
+    "compression_gate",
 ]
 
 
