@@ -66,7 +66,7 @@ def load_all() -> None:
               batch: cluster_representatives, incremental_dedup,
               purchase_context_window, shard_manifest, dsir_importance,
               quality_classifier, source_semantic_diversity,
-              compression_gate) register past the
+              compression_gate, copurchase_pairs) register past the
               window and take their first driver rows in r5 — rotate them
               to the front then, along with the parity tail
               (active_customer_profile … order_priority_pivot).
@@ -132,3 +132,4 @@ def load_all() -> None:
     from .text import classifier  # noqa: F401  (new in r4, past window — r5 rotation)
     from .similarity import diversity  # noqa: F401  (new in r4, past window — r5 rotation)
     from .text import compression  # noqa: F401  (new in r4, past window — r5 rotation)
+    from .operators import basket  # noqa: F401  (new in r4, past window — r5 rotation)
