@@ -47,6 +47,83 @@ HAVING count(*) >= {MIN_SUPPORT}
 """
 
 
+_RULES_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SUPPORT}
+), directed AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_orders FROM pairs
+  UNION ALL
+  SELECT part_b AS antecedent, part_a AS consequent, n_orders FROM pairs
+), items AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_orders FROM li GROUP BY 1
+), total AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM li
+)
+SELECT d.antecedent, d.consequent, d.n_orders,
+       CAST(d.n_orders AS DOUBLE) / ia.item_orders AS confidence,
+       (CAST(d.n_orders AS DOUBLE) / ia.item_orders)
+         / (CAST(ic.item_orders AS DOUBLE) / t.n_total) AS lift
+FROM directed d
+JOIN items ia ON d.antecedent = ia.l_partkey
+JOIN items ic ON d.consequent = ic.l_partkey
+CROSS JOIN total t
+"""
+
+
+@register("basket_rules", oracle=_RULES_ORACLE)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase pairs: confidence and lift
+    for both rule directions of every supported pair.
+
+    Scale: the pair table is the expensive input (computed once above);
+    this layer adds two part-keyed joins against the |parts|-sized item
+    count table (AQE broadcasts it) and one 1-row total broadcast —
+    the pair table itself is never re-shuffled on a non-uniform key.
+    Determinism: confidence/lift are chains of single IEEE divisions of
+    exact integers, identical association order in both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = copurchase_pairs(spark, sf_dir)
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_orders",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_orders",
+        )
+    )
+    items = li.groupBy("l_partkey").agg(F.count("*").alias("item_orders"))
+    total = li.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    ia = items.select(F.col("l_partkey").alias("antecedent"), F.col("item_orders").alias("a_orders"))
+    ic = items.select(F.col("l_partkey").alias("consequent"), F.col("item_orders").alias("c_orders"))
+    confidence = F.col("n_orders").cast("double") / F.col("a_orders")
+    return (
+        directed.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_orders",
+            confidence.alias("confidence"),
+            (confidence / (F.col("c_orders").cast("double") / F.col("n_total"))).alias("lift"),
+        )
+    )
+
+
 @register("copurchase_pairs", oracle=_COPURCHASE_ORACLE)
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered part pairs bought together in ≥ MIN_SUPPORT orders."""

@@ -66,7 +66,7 @@ def load_all() -> None:
               batch: cluster_representatives, incremental_dedup,
               purchase_context_window, shard_manifest, dsir_importance,
               quality_classifier, source_semantic_diversity,
-              compression_gate, copurchase_pairs) register past the
+              compression_gate, copurchase_pairs, basket_rules) register past the
               window and take their first driver rows in r5 — rotate them
               to the front then, along with the parity tail
               (active_customer_profile … order_priority_pivot).
