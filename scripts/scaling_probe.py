@@ -30,7 +30,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "span_dedup_coverage", "doc_chunks", "doc_lm_score", "term_postings",
           "embedding_quantize", "semantic_dedup", "ann_ivf_topk", "ann_pq_topk",
           "incremental_dedup", "cluster_representatives", "shard_manifest",
-          "purchase_context_window"]
+          "purchase_context_window", "dsir_importance", "copurchase_pairs",
+          "source_semantic_diversity", "quality_classifier"]
 TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings", "events"}
 
 
