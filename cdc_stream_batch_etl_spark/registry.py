@@ -54,61 +54,58 @@ def load_all() -> None:
       r1  — reference-parity operators first → all 50 parity queries green.
       r2/r3 — training-data-pipeline families first → all 49 oracled
               pipeline queries green (ann_lsh_topk declared rows-only).
-      r4 (now) — funnel/monitoring FIRST (the only three queries with no
-              driver row in any round: conversion_funnel, retention_cohorts,
-              pipeline_health), then the two headline round-4 operators
-              (semantic_dedup, bpe_token_count), then the parity set
-              (re-verification under the round-2 catalog.py timestamp
-              normalization), then the already-double-green pipeline
-              families. The other round-4 additions (text_normalize,
-              embedding_outliers, multimodal_audio_stats,
-              corpus_gate_funnel, semantic_cell_stats, and the late-r4
-              batch: cluster_representatives, incremental_dedup,
-              purchase_context_window, shard_manifest, dsir_importance,
-              quality_classifier, source_semantic_diversity,
-              compression_gate, copurchase_pairs, basket_rules) register past the
-              window and take their first driver rows in r5 — rotate them
-              to the front then, along with the parity tail
-              (active_customer_profile … order_priority_pivot).
+      r4  — funnel/monitoring trio + semantic_dedup/bpe_token_count, then
+              the parity re-verification under the r2 catalog timestamp
+              normalization → 49/50 green (random_pick rows-only).
+      r5 (now) — the 14 round-4 additions that registered past the r4
+              window take their FIRST driver rows (leaf modules first so
+              no transitive import steals a slot; survivorship and
+              funnel_gates pull in their dedup/corpus dependency chains,
+              which re-green minhash/ngram/components/clean_corpus for
+              free), then the 6-query parity tail that sat on r1 evidence
+              (relational + setops), then the most change-sensitive core
+              (segments, products, orders, cdc, semantic, bpe, asof,
+              funnel, monitoring, windows). Queries past the window all
+              hold green rows from r1-r4.
     """
-    # positions 1-3: the never-driver-checked trio
-    from .operators import funnel, monitoring  # noqa: F401
+    # --- positions 1-11: round-4 leaf modules, never driver-checked ---
+    from .operators import rangejoin  # noqa: F401  purchase_context_window
+    from .text import sharding  # noqa: F401  shard_manifest
+    from .text import importance  # noqa: F401  dsir_importance
+    from .text import classifier  # noqa: F401  quality_classifier
+    from .similarity import diversity  # noqa: F401  source_semantic_diversity
+    from .text import compression  # noqa: F401  compression_gate (rows-only)
+    from .operators import basket  # noqa: F401  basket_rules, copurchase_pairs
+    from .text import normalize  # noqa: F401  text_normalize
+    from .similarity import outliers  # noqa: F401  embedding_outliers
+    from .multimodal import audioops  # noqa: F401  multimodal_audio_stats
 
-    # positions 4-5: new in round 4, first driver rows needed
+    # --- r4 modules with registering dependency chains (chain re-greens
+    # ngram/minhash/components and clean_corpus ahead of them) ---
+    from .dedup import survivorship  # noqa: F401  cluster_representatives, incremental_dedup
+    from .text import funnel_gates  # noqa: F401  corpus_gate_funnel
+
+    # --- parity tail: r1-evidence-only queries (positions ~21-28) ---
+    from .operators import relational, setops  # noqa: F401
+
+    # --- change-sensitive core re-green (fills the rest of the window) ---
+    from .operators import segments, products, orders, cdc  # noqa: F401
     from .dedup import semantic  # noqa: F401
     from .text import bpe  # noqa: F401
+    from .operators import asof, funnel, monitoring, windows  # noqa: F401
 
-    # next ~50: the reference-parity set (last driver-checked in r1).
-    # The driver window is ~50 entries, so its tail (the yoy/cube/pivot
-    # queries, none of which touch the events.ts normalization that
-    # motivated this re-check) stays on r1 evidence until r5.
+    # --- past the ~50-entry window: green in r1-r4, order not significant ---
     from . import operators  # noqa: F401
     from .operators import (  # noqa: F401
-        segments,
-        products,
-        orders,
-        cdc,
-        windows,
         anomalies,
         geo,
         filters,
         summary,
-        asof,
         sessions,
         scd,
         binning,
         ranking,
-        relational,
-        setops,
     )
-
-    # remainder: pipeline families, driver-green in r2+r3 (plus
-    # text_normalize and embedding_outliers, new in r4 past the window —
-    # first rows in r5)
-    from .text import normalize  # noqa: F401
-    from .similarity import outliers  # noqa: F401
-    from .multimodal import audioops  # noqa: F401
-    from .text import funnel_gates  # noqa: F401
     from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
     from .text import (  # noqa: F401
         analysis,
@@ -125,11 +122,6 @@ def load_all() -> None:
     from .multimodal import binaryops  # noqa: F401
     from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
     from .similarity import kmeans, quantize, pq  # noqa: F401
-    from .dedup import survivorship  # noqa: F401  (new in r4, past window — r5 rotation)
-    from .operators import rangejoin  # noqa: F401  (new in r4, past window — r5 rotation)
-    from .text import sharding  # noqa: F401  (new in r4, past window — r5 rotation)
-    from .text import importance  # noqa: F401  (new in r4, past window — r5 rotation)
-    from .text import classifier  # noqa: F401  (new in r4, past window — r5 rotation)
-    from .similarity import diversity  # noqa: F401  (new in r4, past window — r5 rotation)
-    from .text import compression  # noqa: F401  (new in r4, past window — r5 rotation)
-    from .operators import basket  # noqa: F401  (new in r4, past window — r5 rotation)
+
+    # new in round 5, registered past the window — first driver rows in r6
+    from .dedup import semantic_imi  # noqa: F401
