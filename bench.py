@@ -10,6 +10,13 @@ Methodology: each query runs twice and reports the faster run (standard
 warm-run benchmarking — the first execution of a plan shape pays one-time
 whole-stage-codegen compilation that a resident engine never re-pays;
 data is re-scanned from parquet on every run, nothing is cached).
+
+Noise self-identification: the whole run's stderr (which the driver JVM
+inherits) is captured to a sidecar file; the JSON carries
+``errors`` = count of ERROR-level / stack-frame lines seen during the
+window and ``failed_tasks`` = sum of task failures across all stages, so
+a contention- or retry-inflated number is distinguishable from a real
+regression without forensics (the BENCH_r04 DAGScheduler-trace lesson).
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 from cdc_stream_batch_etl_spark import registry
@@ -67,11 +75,52 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
+def _count_noise(log_path: str) -> int:
+    """ERROR-level lines + Java stack frames in the captured stderr."""
+    n = 0
+    try:
+        with open(log_path, errors="replace") as f:
+            for line in f:
+                if " ERROR " in line or line.startswith("\tat ") or "Exception" in line:
+                    n += 1
+    except OSError:
+        pass
+    return n
+
+
+def _failed_tasks(spark) -> int:
+    """Sum task failures over every retained stage of the run."""
+    tracker = spark.sparkContext.statusTracker()
+    total, misses, i = 0, 0, 0
+    while misses < 200:  # stage ids are dense from 0; stop after a long gap
+        info = tracker.getStageInfo(i)
+        if info is None:
+            misses += 1
+        else:
+            misses = 0
+            total += info.numFailedTasks
+        i += 1
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    log_path = os.environ.get("SPARK_GRAFT_BENCH_LOG", "/tmp/bench_stderr.log")
+    # fd-level redirect BEFORE the JVM launches so it inherits the fd; the
+    # sidecar file is what _count_noise scans after the window closes
+    log_fd = os.open(log_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    saved_stderr = os.dup(2)
+    sys.stderr.flush()
+    os.dup2(log_fd, 2)
+
     registry.load_all()
     names = [n for n in HEADLINE if n in registry.QUERIES]
-    spark = get_spark(app="bench")
+    spark = get_spark(
+        app="bench",
+        # keep every stage's status in memory so the failed-task sweep at the
+        # end of the window sees the whole run, not the last 1000 stages
+        extra_conf={"spark.ui.retainedStages": "50000"},
+    )
     # warm the JVM + parquet footers once, outside the timed region
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
@@ -95,6 +144,12 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    failed = _failed_tasks(spark)
+    # restore stderr before emitting the JSON so the line lands cleanly
+    sys.stderr.flush()
+    os.dup2(saved_stderr, 2)
+    os.close(saved_stderr)
+    os.close(log_fd)
     print(
         json.dumps(
             {
@@ -103,6 +158,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "errors": _count_noise(log_path),
+                "failed_tasks": failed,
+                "errors_log": log_path,
             }
         )
     )
