@@ -33,6 +33,35 @@ from ..registry import register
 
 MIN_SUPPORT = 2
 
+
+def _distinct_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (order, part) basket projection — built once and shared so
+    basket_rules' items/total legs reuse the same lineage (and AQE can reuse
+    the exchange) instead of running the scan+distinct shuffle twice."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def _pairs_from(li: DataFrame) -> DataFrame:
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= MIN_SUPPORT)
+    )
+
 _COPURCHASE_ORACLE = f"""
 WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -88,12 +117,8 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair table itself is never re-shuffled on a non-uniform key.
     Determinism: confidence/lift are chains of single IEEE divisions of
     exact integers, identical association order in both engines."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pairs = copurchase_pairs(spark, sf_dir)
+    li = _distinct_items(spark, sf_dir)
+    pairs = _pairs_from(li)
     directed = pairs.select(
         F.col("part_a").alias("antecedent"),
         F.col("part_b").alias("consequent"),
@@ -127,23 +152,4 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("copurchase_pairs", oracle=_COPURCHASE_ORACLE)
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered part pairs bought together in ≥ MIN_SUPPORT orders."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= MIN_SUPPORT)
-    )
+    return _pairs_from(_distinct_items(spark, sf_dir))

@@ -40,7 +40,9 @@ HIGH_RATIO = 1.00  # above: incompressible noise (ratio can exceed 1 on tiny doc
 
 
 def _zlib_ratio_fn(texts: pd.Series) -> pd.Series:
-    def ratio(t: str) -> float:
+    def ratio(t: str | None) -> float | None:
+        if t is None:  # SQL NULL propagation, matching the JVM-expression gates
+            return None
         raw = t.encode("utf-8")
         if not raw:
             return 1.0

@@ -29,7 +29,8 @@ def test_range_join_zero_context_purchases_survive(spark, sf_dir):
         .count()
     )
     assert total == purchases
-    assert df.filter(F.col("ctx_events") == 0).count() >= 0  # schema sanity
+    # the sf0.001 fixture has ~185 quiet-hour purchases — they must survive
+    assert df.filter(F.col("ctx_events") == 0).count() > 0
     assert df.filter(F.col("ctx_events").isNull()).count() == 0
 
 
