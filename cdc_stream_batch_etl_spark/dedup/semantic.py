@@ -41,6 +41,8 @@ annotated kept/removed), never collected.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,7 +51,11 @@ from ..registry import register
 from ..similarity.linalg import adaptive_stride_sql, centroids
 from ..similarity.linalg import dot as _dot
 
-SEM_THRESHOLD = 0.40  # isotropic synthetic corpus; ~0.95 on a real one
+# Cosine cut for "semantic duplicate". The 0.40 default is tuned to the
+# isotropic synthetic corpus (a real embedding space wants ~0.95 — SemDeDup
+# §4); override per-corpus via env. Read ONCE at import so the Spark plan
+# and the DuckDB oracle (baked into the f-string below) always agree.
+SEM_THRESHOLD = float(os.environ.get("SPARK_GRAFT_SEM_THRESHOLD", "0.40"))
 MAX_CELL = 4096  # pair-stage cap per cell; ≫ √N cell sizes, binds only on degenerate skew
 
 _DOT = "list_dot_product({a}, {b})"
