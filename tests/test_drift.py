@@ -118,3 +118,55 @@ def test_scrambled_arrival_order_same_fold(spark, tmp_path):
     assert got.n_events == n
     assert got.ewma == pytest.approx(m, abs=0.0)
     assert got.ewvar == pytest.approx(v, abs=0.0)
+
+
+def test_restart_resumes_model_exactly_once(spark, tmp_path):
+    """Checkpoint-kill-restart (W12 analog for the drift operator): the
+    order-dependent fold is exactly where replay bugs hide. Stop after the
+    arming batch, restart on the same checkpoint with a shifted batch: the
+    restored model must (a) not re-fold batch 0 (n_events continues at 16,
+    not 28), (b) flag drift against the phase-1 band, (c) land on the same
+    IEEE state as an uninterrupted run. An idle restart must emit nothing."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stable = [_ev(i, i, 100.0 + (i % 3)) for i in range(12)]
+    shifted = [_ev(100 + i, 100 + i, 200.0 + i) for i in range(4)]
+    spark.createDataFrame(stable, SCHEMA).coalesce(1).write.parquet(str(src / "batch_0"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/batch_*")
+        )
+        q = (
+            value_drift_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # phase 1: arms the model, then the query is gone ("crash")
+    phase1 = spark.read.parquet(out).collect()
+    assert [r.n_events for r in phase1] == [12]
+
+    # phase 2: shifted data arrives while down; restart on the checkpoint
+    spark.createDataFrame(shifted, SCHEMA).coalesce(1).write.parquet(str(src / "batch_1"))
+    run()
+    rows = {r.n_events: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {12, 16}, f"replayed or lost a batch: {sorted(rows)}"
+    resumed = rows[16]
+    assert resumed.drift is True  # judged against the RESTORED phase-1 band
+    n, m, v = _expected_fold([r[4] for r in stable] + [r[4] for r in shifted])
+    assert resumed.ewma == pytest.approx(m, abs=0.0)  # identical IEEE fold
+    assert resumed.ewvar == pytest.approx(v, abs=0.0)
+
+    run()  # phase 3: idle restart — nothing to replay, nothing emitted
+    assert len(spark.read.parquet(out).collect()) == 2
