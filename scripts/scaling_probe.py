@@ -31,7 +31,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "embedding_quantize", "semantic_dedup", "ann_ivf_topk", "ann_pq_topk",
           "incremental_dedup", "cluster_representatives", "shard_manifest",
           "purchase_context_window", "dsir_importance", "copurchase_pairs",
-          "source_semantic_diversity", "quality_classifier"]
+          "source_semantic_diversity", "quality_classifier",
+          "semantic_dedup_imi", "basket_rules"]
 TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings", "events"}
 
 
