@@ -7,20 +7,30 @@ canonical "pair explosion bounded by group size" distributed pattern —
 the same shape as recommendation co-visitation, n-gram co-occurrence,
 and feature-cross building in a training pipeline.
 
-Plan: project lineitem to DISTINCT (order, part) — dedup first, so a
-part ordered twice in one basket doesn't double-count — then self-join
-on the ORDER key with an anti-symmetric part predicate (a < b: each
-unordered pair once), then one hash-agg on the pair. The output keeps
-pairs with support ≥ MIN_SUPPORT (singleton pairs are noise for any
+Plan: ONE shuffle on the order key builds each basket as a sorted
+DISTINCT part array (collect_set folds the per-basket dedup into the
+same agg — a part ordered twice never double-counts), then pairs are
+generated SCAN-LOCALLY from the sorted array (the minhash.py bucket
+pair idiom: transform over shifted slices, each unordered a < b pair
+exactly once), then one hash-agg on the pair. The output keeps pairs
+with support ≥ MIN_SUPPORT (singleton pairs are noise for any
 downstream use and would dominate the result 30:1).
 
-Scale: the self-join key is l_orderkey — fan-out per key is the BASKET
-SIZE, which the schema bounds (TPC-H: ≤ 7 lineitems; measured ≤ 13
-distinct parts at sf0.01), so the pair stage is O(rows × basket), not
-O(rows²). A marketplace with unbounded carts would cap the basket like
-dedup/minhash.py's MAX_BUCKET (drop-and-report, fail open); here the
-bound is structural so no cap is wired. The pair agg shuffles on
-(part_a, part_b) — uniform keys, map-side partials.
+Scale: per-basket fan-out is the BASKET SIZE, which the schema bounds
+(TPC-H: ≤ 7 lineitems; measured ≤ 17 distinct parts at sf0.1×8), so
+the pair stage is O(rows × basket), not O(rows²). A marketplace with
+unbounded carts would cap the basket like dedup/minhash.py's MAX_BUCKET
+(drop-and-report, fail open); here the bound is structural so no cap is
+wired. The pair agg shuffles on (part_a, part_b) — uniform keys,
+map-side partials. The pair array comes out of an aggregate, so the
+slice lambdas read a materialized attribute (the SCALING.md
+transform-quadratic rule is satisfied by the exchange boundary).
+
+History: the first spelling was a self-join on l_orderkey; the ×8 probe
+flagged it at exponent 1.48 — Catalyst broadcast the corpus-sized
+distinct frame (fine at 600k rows, a HashedRelation blowup at 4.8M).
+The basket-array spelling removes the join entirely: one exchange less,
+nothing corpus-sized is ever broadcast, probe re-measured sublinear.
 """
 
 from __future__ import annotations
@@ -34,30 +44,30 @@ from ..registry import register
 MIN_SUPPORT = 2
 
 
-def _distinct_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT (order, part) basket projection — built once and shared so
-    basket_rules' items/total legs reuse the same lineage (and AQE can reuse
-    the exchange) instead of running the scan+distinct shuffle twice."""
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, parts) — each basket's sorted DISTINCT part array,
+    built in ONE order-keyed shuffle (collect_set deduplicates in-agg).
+    Shared by both queries so the scan+shuffle runs once per plan."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
 
 
-def _pairs_from(li: DataFrame) -> DataFrame:
-    a = li.alias("a")
-    b = li.alias("b")
+def _pairs_from(baskets: DataFrame) -> DataFrame:
+    """Each unordered (a < b) pair once per basket, generated scan-local
+    from the sorted array — no self-join, nothing broadcast."""
+    pair_structs = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= MIN_SUPPORT)
     )
@@ -117,8 +127,8 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair table itself is never re-shuffled on a non-uniform key.
     Determinism: confidence/lift are chains of single IEEE divisions of
     exact integers, identical association order in both engines."""
-    li = _distinct_items(spark, sf_dir)
-    pairs = _pairs_from(li)
+    baskets = _baskets(spark, sf_dir)
+    pairs = _pairs_from(baskets)
     directed = pairs.select(
         F.col("part_a").alias("antecedent"),
         F.col("part_b").alias("consequent"),
@@ -130,8 +140,14 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
-    items = li.groupBy("l_partkey").agg(F.count("*").alias("item_orders"))
-    total = li.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    # items/total read the basket arrays, not the raw scan: one exploded
+    # row per DISTINCT (order, part) — identical to the oracle's li CTE
+    items = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("item_orders"))
+    )
+    total = baskets.agg(F.count("*").alias("n_total"))
     ia = items.select(F.col("l_partkey").alias("antecedent"), F.col("item_orders").alias("a_orders"))
     ic = items.select(F.col("l_partkey").alias("consequent"), F.col("item_orders").alias("c_orders"))
     confidence = F.col("n_orders").cast("double") / F.col("a_orders")
@@ -152,4 +168,4 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("copurchase_pairs", oracle=_COPURCHASE_ORACLE)
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered part pairs bought together in ≥ MIN_SUPPORT orders."""
-    return _pairs_from(_distinct_items(spark, sf_dir))
+    return _pairs_from(_baskets(spark, sf_dir))
