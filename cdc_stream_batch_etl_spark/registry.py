@@ -125,3 +125,8 @@ def load_all() -> None:
 
     # new in round 5, registered past the window — first driver rows in r6
     from .dedup import semantic_imi  # noqa: F401
+    from .text import budget  # noqa: F401  token_quota_by_source
+    from .operators import skew  # noqa: F401  key_skew_report
+    from .operators import quality_report  # noqa: F401  data_quality_report
+    from .dedup import ledger  # noqa: F401  dedup_ledger
+    from .similarity import ivfpq  # noqa: F401  ann_ivfpq_topk

@@ -384,3 +384,54 @@ def test_sem_threshold_env_override_reaches_plan_and_oracle():
 
         for k, v in saved_oracle.items():
             assert registry.ORACLES[k] == v
+
+
+# ---------------------------------------------------------------------------
+# token_quota_by_source boundary semantics: the cumsum is INCLUSIVE, so the
+# document that first crosses the budget is excluded while everything before
+# it stays — and a document bigger than the whole budget can never sneak in.
+# ---------------------------------------------------------------------------
+
+
+def test_token_quota_boundary(spark, sf_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_stream_batch_etl_spark.text.budget import TOKEN_QUOTA, token_quota_by_source
+
+    planted_dir = tmp_path / "quota"
+    planted_dir.mkdir()
+    # quality ranks by type/token ratio desc then doc_id; craft docs whose
+    # TTR ordering is forced: unique tokens → ttr 1.0, repeated → lower
+    big = " ".join(f"w{i}" for i in range(TOKEN_QUOTA - 10))  # fits alone
+    mid = " ".join(f"x{i}" for i in range(100))  # crosses the budget
+    rep = "y y y y y"  # lowest ttr, never reached
+    huge = " ".join(f"z{i}" for i in range(TOKEN_QUOTA + 1))  # alone > budget
+    rows = [
+        (0, big, "en", "s1", len(big)),
+        (1, mid, "en", "s1", len(mid)),
+        (2, rep, "en", "s1", len(rep)),
+        (3, huge, "en", "s2", len(huge)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        str(planted_dir / "documents.parquet"),
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", planted_dir / f"{t}.parquet")
+
+    got = {r.doc_id: r for r in token_quota_by_source(spark, str(planted_dir)).collect()}
+    assert got[0].selected is True  # best-ranked, fits
+    assert got[1].selected is False  # crossing doc is excluded, not truncated
+    assert got[2].selected is False  # behind the crossing doc
+    assert got[3].selected is False  # single doc over budget: never selected
+    assert got[0].cum_tokens == TOKEN_QUOTA - 10

@@ -178,3 +178,46 @@ def test_pq_recall_vs_exact_l2(spark, sf_dir):
     assert recall > 5 * random_baseline, (
         f"ADC no better than random: recall={recall:.3f} random={random_baseline:.3f}"
     )
+
+
+def test_ivfpq_recall_vs_exact(spark, sf_dir):
+    """IVF-PQ compounds two approximations — cell pruning AND 8-byte ADC
+    codes — so the IVF-Flat bound (beat the scanned fraction) does not
+    apply: PQ legitimately reorders within probed cells, especially on an
+    isotropic corpus where subspace L2 is a blunt proxy for cosine. The
+    honest contract: massively better than a random top-k draw from the
+    corpus (expected recall k/(N-1) ≈ 1%), with an absolute floor, plus
+    the structural invariants (no self-matches, rank bounded)."""
+    from cdc_stream_batch_etl_spark.catalog import load_table
+    from cdc_stream_batch_etl_spark.similarity.ivfpq import ann_ivfpq_topk
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    exact = {(r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, sf_dir).collect()}
+    rows = ann_ivfpq_topk(spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    assert all(1 <= r.rank <= TOP_K for r in rows)
+    recall = len(exact & approx) / len(exact)
+    random_recall = TOP_K / (n - 1)
+    assert recall > 3 * random_recall, (
+        f"IVF-PQ no better than random draw: {recall:.3f} <= {3 * random_recall:.3f}"
+    )
+    assert recall >= 0.1, f"IVF-PQ recall degenerate: {recall:.2f}"
+
+
+def test_imi_cells_vs_flat_cells(spark, sf_dir):
+    """The IMI variant must partition at a comparable granularity to the
+    flat quantizer (product cells ≈ sqrt(N)) and agree with it on the
+    clear-cut duplicates: everything both mark removed is removed by the
+    exact pair join too."""
+    from cdc_stream_batch_etl_spark.dedup.embedding import embed_near_dup_pairs
+    from cdc_stream_batch_etl_spark.dedup.semantic_imi import semantic_dedup_imi
+
+    rows = semantic_dedup_imi(spark, sf_dir).collect()
+    removed = {r.vec_id for r in rows if not r.kept}
+    assert removed, "IMI semantic dedup vacuous on the test corpus"
+    exact_pairs = {(r.vec_a, r.vec_b) for r in embed_near_dup_pairs(spark, sf_dir).collect()}
+    exact_larger = {b for _, b in exact_pairs}
+    assert removed <= exact_larger, "IMI removed a vector no exact pair contains"
+    n_cells = len({(r.cell_lo, r.cell_hi) for r in rows})
+    assert n_cells > 1, "IMI collapsed to one product cell"
