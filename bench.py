@@ -67,6 +67,12 @@ HEADLINE: list[str] = [
     "quality_classifier",
     "source_semantic_diversity",
     "compression_gate",
+    "semantic_dedup_imi",
+    "ann_ivfpq_topk",
+    "copurchase_pairs",
+    "basket_rules",
+    "dedup_ledger",
+    "token_quota_by_source",
 ]
 
 

@@ -158,3 +158,135 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("critical")
         .alias("health_status"),
     )
+
+
+_SERVICE_ORACLE = f"""
+WITH src AS (
+  SELECT (SELECT count(*) FROM customer) AS n_customer,
+         (SELECT count(*) FROM orders) AS n_orders,
+         (SELECT count(*) FROM lineitem) AS n_lineitem,
+         (SELECT count(*) FROM part) AS n_part,
+         (SELECT count(*) FROM events) AS n_events,
+         (SELECT max(ts) FROM events) AS max_event_ts,
+         (SELECT count(*) FROM events WHERE event_type <> 'error') AS n_ok_events,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_fk
+), pts AS (
+  SELECT *,
+         CAST((CASE WHEN n_customer > 0 THEN 1 ELSE 0 END) +
+              (CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) +
+              (CASE WHEN n_lineitem > 0 THEN 1 ELSE 0 END) +
+              (CASE WHEN n_part > 0 THEN 1 ELSE 0 END) +
+              (CASE WHEN n_events > 0 THEN 1 ELSE 0 END) AS BIGINT) AS avail
+  FROM src
+)
+SELECT 'connector' AS service,
+       CASE WHEN avail = 5 THEN 20.0 ELSE 0.0 END AS points,
+       20.0 AS max_points,
+       CAST(avail AS DOUBLE) AS detail,
+       CASE WHEN avail = 5 THEN 'healthy' ELSE 'down' END AS status
+FROM pts
+UNION ALL
+SELECT 'topics', ROUND(20.0 * avail / 5, 2), 20.0, CAST(avail AS DOUBLE) / 5,
+       CASE WHEN avail = 5 THEN 'healthy' WHEN avail > 0 THEN 'degraded' ELSE 'down' END
+FROM pts
+UNION ALL
+SELECT 'freshness',
+       CASE WHEN max_event_ts >= TIMESTAMP '{FRESHNESS_HORIZON}' THEN 20.0 ELSE 0.0 END,
+       20.0,
+       CAST(floor(epoch(max_event_ts)) AS DOUBLE),
+       CASE WHEN max_event_ts >= TIMESTAMP '{FRESHNESS_HORIZON}' THEN 'healthy' ELSE 'stale' END
+FROM pts
+UNION ALL
+SELECT 'integrity',
+       CASE WHEN n_null_fk = 0 THEN 20.0
+            WHEN CAST(n_null_fk AS DOUBLE) / n_orders < 0.01 THEN 10.0
+            ELSE 0.0 END,
+       20.0,
+       CAST(n_null_fk AS DOUBLE) / n_orders,
+       CASE WHEN n_null_fk = 0 THEN 'healthy'
+            WHEN CAST(n_null_fk AS DOUBLE) / n_orders < 0.01 THEN 'degraded'
+            ELSE 'down' END
+FROM pts
+UNION ALL
+SELECT 'batch_jobs', ROUND(20.0 * n_ok_events / n_events, 2), 20.0,
+       CAST(n_ok_events AS DOUBLE) / n_events,
+       CASE WHEN n_ok_events = n_events THEN 'healthy' ELSE 'degraded' END
+FROM pts
+"""
+
+
+@register("service_health", oracle=_SERVICE_ORACLE)
+def service_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service breakdown of the weighted health score — the row-per-
+    component view the reference's report dict carries
+    (etl_monitoring.py:281-305: each probe's contribution listed next to
+    the total). Same five data-observable probes as pipeline_health; one
+    row each with points earned, the 20-point maximum, the raw detail
+    metric, and the reference's healthy/degraded/down banding.
+
+    Scale: identical cost to pipeline_health (the same five 1-row
+    aggregates); the per-service rows are five projections of the single
+    broadcast-joined stats row unioned together."""
+    counts = []
+    for t in SOURCE_TABLES:
+        counts.append(load_table(spark, sf_dir, t).agg(F.count("*").alias(f"n_{t}")))
+    events = load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_event_ts"),
+        F.count(F.when(F.col("event_type") != "error", 1)).alias("n_ok_events"),
+    )
+    orders_fk = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_null_fk")
+    )
+    src = counts[0]
+    for df in counts[1:] + [events, orders_fk]:
+        src = src.crossJoin(df)
+
+    avail = sum(
+        F.when(F.col(f"n_{t}") > 0, 1).otherwise(0) for t in SOURCE_TABLES
+    ).cast("bigint")
+    fresh_ok = F.col("max_event_ts") >= F.lit(FRESHNESS_HORIZON).cast("timestamp")
+    fk_ratio = F.col("n_null_fk").cast("double") / F.col("n_orders")
+    ok_ratio = F.col("n_ok_events").cast("double") / F.col("n_events")
+
+    def row(service, points, detail, status):
+        return src.select(
+            F.lit(service).alias("service"),
+            points.cast("double").alias("points"),
+            F.lit(20.0).alias("max_points"),
+            detail.cast("double").alias("detail"),
+            status.alias("status"),
+        )
+
+    connector = row(
+        "connector",
+        F.when(avail == 5, 20.0).otherwise(0.0),
+        avail,
+        F.when(avail == 5, "healthy").otherwise("down"),
+    )
+    topics = row(
+        "topics",
+        F.round(F.lit(20.0) * avail / 5, 2),
+        avail.cast("double") / 5,
+        F.when(avail == 5, "healthy").when(avail > 0, "degraded").otherwise("down"),
+    )
+    freshness = row(
+        "freshness",
+        F.when(fresh_ok, 20.0).otherwise(0.0),
+        F.unix_timestamp("max_event_ts"),
+        F.when(fresh_ok, "healthy").otherwise("stale"),
+    )
+    integrity = row(
+        "integrity",
+        F.when(F.col("n_null_fk") == 0, 20.0).when(fk_ratio < 0.01, 10.0).otherwise(0.0),
+        fk_ratio,
+        F.when(F.col("n_null_fk") == 0, "healthy")
+        .when(fk_ratio < 0.01, "degraded")
+        .otherwise("down"),
+    )
+    batch = row(
+        "batch_jobs",
+        F.round(F.lit(20.0) * ok_ratio, 2),
+        ok_ratio,
+        F.when(F.col("n_ok_events") == F.col("n_events"), "healthy").otherwise("degraded"),
+    )
+    return connector.unionAll(topics).unionAll(freshness).unionAll(integrity).unionAll(batch)
