@@ -66,7 +66,13 @@ def load_all() -> None:
               (relational + setops), then the most change-sensitive core
               (segments, products, orders, cdc, semantic, bpe, asof,
               funnel, monitoring, windows). Queries past the window all
-              hold green rows from r1-r4.
+              hold green rows from r1-r4. The SEVEN round-5 additions
+              (semantic_dedup_imi, token_quota_by_source,
+              key_skew_report, data_quality_report, dedup_ledger,
+              ann_ivfpq_topk, service_health — service_health lands
+              inside the window via the monitoring import) register at
+              the tail and take their first driver rows in the r6
+              rotation.
     """
     # --- positions 1-11: round-4 leaf modules, never driver-checked ---
     from .operators import rangejoin  # noqa: F401  purchase_context_window
@@ -130,3 +136,5 @@ def load_all() -> None:
     from .operators import quality_report  # noqa: F401  data_quality_report
     from .dedup import ledger  # noqa: F401  dedup_ledger
     from .similarity import ivfpq  # noqa: F401  ann_ivfpq_topk
+    from .operators import privacy  # noqa: F401  k_anonymity_report
+    from .operators import winsorize  # noqa: F401  winsorize_values

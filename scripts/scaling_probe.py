@@ -32,7 +32,9 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "incremental_dedup", "cluster_representatives", "shard_manifest",
           "purchase_context_window", "dsir_importance", "copurchase_pairs",
           "source_semantic_diversity", "quality_classifier",
-          "semantic_dedup_imi", "basket_rules"]
+          "semantic_dedup_imi", "basket_rules",
+          "dedup_ledger", "ann_ivfpq_topk", "token_quota_by_source",
+          "key_skew_report"]
 TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings", "events"}
 
 
