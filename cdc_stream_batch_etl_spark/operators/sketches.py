@@ -1,0 +1,142 @@
+"""Deterministic cardinality/frequency sketches — KMV and count-min.
+
+At 100 TB, exact per-key statistics stop being free: COUNT(DISTINCT) is
+an expand + double shuffle, and per-key count tables outgrow memory.
+Production engines answer with SKETCHES — tiny, mergeable summaries with
+bounded error (the Apache DataSketches role). Typical sketch libraries
+are seeded/engine-specific and therefore unverifiable across engines;
+these two are built on the repo's md5-derived integer hashes
+(dedup.hash64_expr ≡ hash64_sql bit-for-bit), so the "approximate"
+results are EXACTLY reproducible in DuckDB and hash-match a full oracle
+— the same determinism trick as the LSH family.
+
+1. KMV (k-minimum-values, Bar-Yossef et al. 2002): keep the K smallest
+   distinct hash values of a set; the K-th smallest h_(K), normalized to
+   (0,1], estimates |S| ≈ (K-1) / h_norm. Mergeable by taking the K
+   smallest of a union of sketches (pytest-asserted).
+2. Count-min (Cormode & Muthukrishnan 2005): D independent hash rows of
+   W counters; a key's estimate = min over rows of its counter — never
+   an underestimate (pytest-asserted against exact counts).
+
+Scale shape: the KMV construction here deduplicates (group, hash) —
+one uniform shuffle — then per-group sorts ONLY to pick the K smallest
+(row_number ≤ K, the ranking.py per-group top-k class); a production
+streaming build would carry the K-minimum set as bounded aggregation
+state instead, identical math. The CMS build is one explode (×D) and
+one (depth, bucket)-keyed hash-agg into exactly D×W output rows — the
+sketch itself is the bounded artifact, whatever the corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..dedup import hash64_expr, hash64_sql
+from ..registry import register
+
+KMV_K = 64
+#: 60-bit hash space (15 hex digits), as in dedup.hash64_expr
+HASH_SPACE = float(1 << 60)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {hash64_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+), ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h
+)
+SELECT event_type,
+       CAST(max(n_exact) AS BIGINT) AS n_distinct_exact,
+       CAST(max(CASE WHEN rk = {KMV_K} THEN hv END) AS BIGINT) AS kth_hash,
+       CASE WHEN max(n_exact) < {KMV_K}
+            THEN CAST(max(n_exact) AS DOUBLE)
+            ELSE ({KMV_K} - 1)
+                 / (CAST(max(CASE WHEN rk = {KMV_K} THEN hv END) AS DOUBLE) / {HASH_SPACE})
+       END AS kmv_estimate
+FROM ranked
+WHERE rk <= {KMV_K}
+GROUP BY event_type
+"""
+
+
+@register("kmv_distinct_by_type", oracle=_KMV_ORACLE)
+def kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact distinct users, the K-th minimum hash, and
+    the KMV cardinality estimate (exact when the set is smaller than K)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.expr(hash64_expr("cast(user_id as string)")).alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    ranked = h.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_exact", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    kth = F.max(F.when(F.col("rk") == KMV_K, F.col("hv")))
+    n_exact = F.max("n_exact")
+    return (
+        ranked.filter(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            n_exact.cast("bigint").alias("n_distinct_exact"),
+            kth.cast("bigint").alias("kth_hash"),
+            F.when(n_exact < KMV_K, n_exact.cast("double"))
+            .otherwise((KMV_K - 1) / (kth.cast("double") / F.lit(HASH_SPACE)))
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+_CMS_ORACLE = f"""
+WITH rows_d AS (
+  SELECT e.user_id, d.d,
+         {hash64_sql("CAST(d.d AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+           % {CMS_WIDTH} AS bucket
+  FROM events e, (SELECT unnest(range({CMS_DEPTH})) AS d) d
+)
+SELECT CAST(d AS BIGINT) AS depth,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS counter
+FROM rows_d
+GROUP BY d, bucket
+"""
+
+
+@register("countmin_sketch", oracle=_CMS_ORACLE)
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D×W count-min table over per-user event counts — the bounded,
+    mergeable artifact itself (point estimates read min over depths;
+    never an underestimate, tests/test_sketches.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        )
+        .select(
+            "d",
+            (
+                F.expr(
+                    hash64_expr("concat(cast(d as string), ':', cast(user_id as string))")
+                )
+                % CMS_WIDTH
+            ).alias("bucket"),
+        )
+        .groupBy(
+            F.col("d").cast("bigint").alias("depth"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+        )
+        .agg(F.count("*").alias("counter"))
+    )

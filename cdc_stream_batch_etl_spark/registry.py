@@ -138,3 +138,4 @@ def load_all() -> None:
     from .similarity import ivfpq  # noqa: F401  ann_ivfpq_topk
     from .operators import privacy  # noqa: F401  k_anonymity_report
     from .operators import winsorize  # noqa: F401  winsorize_values
+    from .operators import sketches  # noqa: F401  kmv_distinct_by_type, countmin_sketch

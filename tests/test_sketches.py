@@ -1,0 +1,91 @@
+"""Sketch-family contracts beyond the oracle hash-match:
+- KMV: the estimate is within the theoretical error envelope of the
+  exact count, and sketches MERGE (k-smallest of a union of k-smallest
+  sets = k-smallest of the union) — the property that makes the sketch
+  a distributed aggregate.
+- Count-min: point estimates (min over depths) never UNDERestimate the
+  exact count — CMS's one-sided guarantee.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from cdc_stream_batch_etl_spark.catalog import load_table
+from cdc_stream_batch_etl_spark.dedup import hash64_expr
+from cdc_stream_batch_etl_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    KMV_K,
+    countmin_sketch,
+    kmv_distinct_by_type,
+)
+
+
+def test_kmv_estimate_within_error_envelope(spark, sf_dir):
+    rows = kmv_distinct_by_type(spark, sf_dir).collect()
+    assert rows, "no event types"
+    for r in rows:
+        if r.n_distinct_exact < KMV_K:
+            assert r.kmv_estimate == float(r.n_distinct_exact)  # exact below K
+        else:
+            # KMV relative standard error ~ 1/sqrt(K-2); allow 5 RSE
+            rse = 1.0 / math.sqrt(KMV_K - 2)
+            rel = abs(r.kmv_estimate - r.n_distinct_exact) / r.n_distinct_exact
+            assert rel < 5 * rse, (
+                f"{r.event_type}: estimate {r.kmv_estimate:.0f} vs exact "
+                f"{r.n_distinct_exact} (rel {rel:.2f} > {5 * rse:.2f})"
+            )
+
+
+def test_kmv_sketch_merges(spark, sf_dir):
+    """k-smallest(k-smallest(A) ∪ k-smallest(B)) == k-smallest(A ∪ B):
+    split the corpus by user parity, sketch each half, merge, and compare
+    the merged k-th hash with the whole-corpus sketch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(hash64_expr("cast(user_id as string)")).alias("hv")
+    )
+    whole = sorted({r.hv for r in ev.distinct().collect()})[:KMV_K]
+    half_a = sorted(
+        {r.hv for r in ev.filter(F.col("user_id") % 2 == 0).distinct().collect()}
+    )[:KMV_K]
+    half_b = sorted(
+        {r.hv for r in ev.filter(F.col("user_id") % 2 == 1).distinct().collect()}
+    )[:KMV_K]
+    merged = sorted(set(half_a) | set(half_b))[:KMV_K]
+    assert merged == whole
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    sketch = {
+        (r.depth, r.bucket): r.counter for r in countmin_sketch(spark, sf_dir).collect()
+    }
+    assert len(sketch) <= CMS_DEPTH * CMS_WIDTH
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).limit(200).collect()
+    }
+    probe = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            *[
+                (
+                    F.expr(
+                        hash64_expr(f"concat('{d}', ':', cast(user_id as string))")
+                    )
+                    % CMS_WIDTH
+                ).alias(f"b{d}")
+                for d in range(CMS_DEPTH)
+            ],
+        )
+        .collect()
+    )
+    buckets = {r.user_id: [r[f"b{d}"] for d in range(CMS_DEPTH)] for r in probe}
+    checked = 0
+    for uid, cnt in exact.items():
+        est = min(sketch.get((d, buckets[uid][d]), 0) for d in range(CMS_DEPTH))
+        assert est >= cnt, f"CMS underestimated user {uid}: {est} < {cnt}"
+        checked += 1
+    assert checked > 0
