@@ -139,3 +139,4 @@ def load_all() -> None:
     from .operators import privacy  # noqa: F401  k_anonymity_report
     from .operators import winsorize  # noqa: F401  winsorize_values
     from .operators import sketches  # noqa: F401  kmv_distinct_by_type, countmin_sketch
+    from .operators import tpch  # noqa: F401  shipping_priority, local_supplier_volume, returned_item_report

@@ -82,3 +82,33 @@ def test_running_windows_share_one_exchange(spark, sf_dir):
     plan = _plan(customer_spend_running(spark, sf_dir), "simple")
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1 and "SinglePartition" not in plan
+
+
+def test_tpch_snowflake_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q5 shape (local_supplier_volume): all four dimensions must ride
+    broadcast joins; the only non-broadcast join is orders⋈lineitem; no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere; both date bounds
+    reach the orders scan."""
+    from cdc_stream_batch_etl_spark.operators.tpch import local_supplier_volume
+
+    plan = _plan(local_supplier_volume(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # c, s, n, r
+    fplan = _plan(local_supplier_volume(spark, sf_dir))
+    pushed = fplan.split("PushedFilters")
+    assert any("o_orderdate" in seg.split("\n")[0] for seg in pushed[1:])
+
+
+def test_tpch_topk_is_take_ordered(spark, sf_dir):
+    """Q3/Q10 shapes: LIMIT-after-ORDER BY must plan as
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    global Sort followed by a limit."""
+    from cdc_stream_batch_etl_spark.operators.tpch import (
+        returned_item_report,
+        shipping_priority,
+    )
+
+    for q in (shipping_priority, returned_item_report):
+        plan = _plan(q(spark, sf_dir), "simple")
+        assert "TakeOrderedAndProject" in plan, plan
