@@ -73,6 +73,10 @@ HEADLINE: list[str] = [
     "basket_rules",
     "dedup_ledger",
     "token_quota_by_source",
+    "winsorize_values",
+    "kmv_distinct_by_type",
+    "local_supplier_volume",
+    "returned_item_report",
 ]
 
 

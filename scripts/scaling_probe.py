@@ -34,7 +34,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "source_semantic_diversity", "quality_classifier",
           "semantic_dedup_imi", "basket_rules",
           "dedup_ledger", "ann_ivfpq_topk", "token_quota_by_source",
-          "key_skew_report"]
+          "key_skew_report", "winsorize_values", "kmv_distinct_by_type",
+          "countmin_sketch", "local_supplier_volume", "returned_item_report"]
 TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings", "events"}
 
 
