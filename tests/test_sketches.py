@@ -89,3 +89,53 @@ def test_countmin_never_underestimates(spark, sf_dir):
         assert est >= cnt, f"CMS underestimated user {uid}: {est} < {cnt}"
         checked += 1
     assert checked > 0
+
+
+def test_kmv_stream_final_state_equals_batch(spark, sf_dir, tmp_path):
+    """The k-min set is a commutative idempotent monoid, so the stream's
+    final sketch must EQUAL the batch operator's regardless of micro-batch
+    boundaries — asserted with the corpus split across three files in
+    shuffled order."""
+    from cdc_stream_batch_etl_spark.streaming.sketches_stream import kmv_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # three uneven files, reverse event order — adversarial batching
+    n = ev.count()
+    ev.orderBy(F.desc("event_id")).limit(n // 5).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    ev.orderBy(F.desc("event_id")).offset(n // 5).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = (
+        kmv_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # last emission per event_type = final sketch state
+    final = {
+        r.event_type: r
+        for r in spark.sql(
+            "SELECT * FROM kmv_out ORDER BY n_hashes"  # later emissions have >= hashes
+        ).collect()
+    }
+    batch = {r.event_type: r for r in kmv_distinct_by_type(spark, sf_dir).collect()}
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert s.kth_hash == b.kth_hash, et
+        assert s.kmv_estimate == b.kmv_estimate, et
