@@ -142,3 +142,5 @@ def load_all() -> None:
     from .operators import winsorize  # noqa: F401  winsorize_values
     from .operators import sketches  # noqa: F401  kmv_distinct_by_type, countmin_sketch
     from .operators import tpch  # noqa: F401  shipping_priority, local_supplier_volume, returned_item_report
+    from .text import shuffle  # noqa: F401  training_shuffle
+    from .operators import histogram  # noqa: F401  value_histogram

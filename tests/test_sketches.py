@@ -139,3 +139,52 @@ def test_kmv_stream_final_state_equals_batch(spark, sf_dir, tmp_path):
         s = final[et]
         assert s.kth_hash == b.kth_hash, et
         assert s.kmv_estimate == b.kmv_estimate, et
+
+
+def test_histogram_quantile_readout_within_bin_width(spark, sf_dir):
+    """Quantiles read from the equi-width histogram must land within one
+    bin width of the exact percentiles — the sketch's stated error bound."""
+    from cdc_stream_batch_etl_spark.operators.histogram import BIN_W, value_histogram
+
+    bins = sorted(
+        (r.bin, r.n_rows) for r in value_histogram(spark, sf_dir).collect()
+    )
+    total = sum(n for _, n in bins)
+
+    def readout(q):
+        target = q * total
+        cum = 0
+        for b, n in bins:
+            if cum + n >= target:
+                frac = (target - cum) / n
+                return (b + frac) * BIN_W
+            cum += n
+        return bins[-1][0] * BIN_W + BIN_W
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    ).collect()[0]
+    assert abs(readout(0.5) - exact.p50) <= BIN_W
+    assert abs(readout(0.95) - exact.p95) <= BIN_W
+
+
+def test_training_shuffle_is_rerun_stable_and_uniform(spark, sf_dir):
+    """Content-addressed order: two independent evaluations produce the
+    identical permutation; shards are hash-uniform; positions are dense
+    1..shard_size."""
+    from cdc_stream_batch_etl_spark.text.shuffle import N_SHARDS, training_shuffle
+
+    a = {(r.doc_id): (r.shard, r.position) for r in training_shuffle(spark, sf_dir).collect()}
+    b = {(r.doc_id): (r.shard, r.position) for r in training_shuffle(spark, sf_dir).collect()}
+    assert a == b  # rerun-stable
+    n_docs = len(a)
+    shards = {}
+    for shard, pos in a.values():
+        shards.setdefault(shard, []).append(pos)
+    assert len(shards) > N_SHARDS // 2  # uniform placement fills most buckets
+    for shard, positions in shards.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))  # dense ranks
+    biggest = max(len(p) for p in shards.values())
+    assert biggest <= max(4 * n_docs // N_SHARDS, 8)  # no gross skew
