@@ -144,3 +144,4 @@ def load_all() -> None:
     from .operators import tpch  # noqa: F401  shipping_priority, local_supplier_volume, returned_item_report
     from .text import shuffle  # noqa: F401  training_shuffle
     from .operators import histogram  # noqa: F401  value_histogram
+    from .text import weights  # noqa: F401  dedup_survivor_weights, stratified_kfold

@@ -35,8 +35,23 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "semantic_dedup_imi", "basket_rules",
           "dedup_ledger", "ann_ivfpq_topk", "token_quota_by_source",
           "key_skew_report", "winsorize_values", "kmv_distinct_by_type",
-          "countmin_sketch", "local_supplier_volume", "returned_item_report"]
-TABLES = {"customer", "orders", "lineitem", "part", "documents", "embeddings", "events"}
+          "countmin_sketch", "local_supplier_volume", "returned_item_report",
+          "training_shuffle", "value_histogram"]
+TABLES = {
+    "customer",
+    "orders",
+    "lineitem",
+    "part",
+    "documents",
+    "embeddings",
+    "events",
+    # dimension chain for the TPC-H star-join probes: *key columns shift
+    # per copy like the fact FKs, so the snowflake stays referentially
+    # consistent in every replica
+    "supplier",
+    "nation",
+    "region",
+}
 
 
 def replicate(spark, n: int, out: str) -> None:
