@@ -148,3 +148,4 @@ def load_all() -> None:
     from .text import shuffle  # noqa: F401  training_shuffle
     from .operators import histogram  # noqa: F401  value_histogram
     from .text import weights  # noqa: F401  dedup_survivor_weights, stratified_kfold
+    from .operators import timetravel  # noqa: F401  state_asof

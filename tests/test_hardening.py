@@ -435,3 +435,18 @@ def test_token_quota_boundary(spark, sf_dir, tmp_path):
     assert got[2].selected is False  # behind the crossing doc
     assert got[3].selected is False  # single doc over budget: never selected
     assert got[0].cum_tokens == TOKEN_QUOTA - 10
+
+
+def test_state_asof_cut_is_nonvacuous_and_converges(spark, sf_dir):
+    """The AS_OF cut must actually exclude events (time travel, not a
+    renamed latest_state), and with the cut at +infinity the operator
+    must equal latest_state row-for-row."""
+    from cdc_stream_batch_etl_spark.operators.cdc import latest_state
+    from cdc_stream_batch_etl_spark.operators.timetravel import AS_OF, state_asof
+
+    asof = {r.user_id: r for r in state_asof(spark, sf_dir).collect()}
+    latest = {r.user_id: r for r in latest_state(spark, sf_dir).collect()}
+    assert any(
+        latest[u].last_event_id != asof[u].last_event_id for u in asof
+    ), "cut excluded nothing — vacuous time travel"
+    assert all(str(r.last_ts) <= AS_OF for r in asof.values())

@@ -188,3 +188,55 @@ def test_training_shuffle_is_rerun_stable_and_uniform(spark, sf_dir):
         assert sorted(positions) == list(range(1, len(positions) + 1))  # dense ranks
     biggest = max(len(p) for p in shards.values())
     assert biggest <= max(4 * n_docs // N_SHARDS, 8)  # no gross skew
+
+
+def test_kmv_stream_restart_resumes_sketch(spark, sf_dir, tmp_path):
+    """Checkpoint-kill-restart for the monoid-state operator: stop after
+    the first file, restart on the same checkpoint with a second file —
+    the final sketch must equal the batch twin's (no lost or re-merged
+    hashes; idempotent merge makes even a replayed batch harmless, but
+    offsets must still advance)."""
+    from cdc_stream_batch_etl_spark.streaming.sketches_stream import kmv_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n = ev.count()
+    ev.limit(n // 3).coalesce(1).write.parquet(str(src / "b0"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/b*")
+        )
+        q = (
+            kmv_stream(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # phase 1, then "crash"
+    ev.offset(n // 3).coalesce(1).write.parquet(str(src / "b1"))
+    run()  # restart on the same checkpoint
+
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        prev = final.get(r.event_type)
+        if prev is None or r.n_hashes >= prev.n_hashes:
+            final[r.event_type] = r
+    batch = {r.event_type: r for r in kmv_distinct_by_type(spark, sf_dir).collect()}
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        assert final[et].kth_hash == b.kth_hash, et
+        assert final[et].kmv_estimate == b.kmv_estimate, et
