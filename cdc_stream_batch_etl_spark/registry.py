@@ -66,8 +66,8 @@ def load_all() -> None:
               (relational + setops), then the most change-sensitive core
               (segments, products, orders, cdc, semantic, bpe, asof,
               funnel, monitoring, windows). Queries past the window all
-              hold green rows from r1-r4. The 17 round-5 batch
-              additions (semantic_dedup_imi, token_quota_by_source,
+              hold green rows from r1-r4. The 18 round-5 batch
+              additions (state_asof, semantic_dedup_imi, token_quota_by_source,
               key_skew_report, data_quality_report, dedup_ledger,
               ann_ivfpq_topk, k_anonymity_report, winsorize_values,
               kmv_distinct_by_type, countmin_sketch, shipping_priority,
@@ -149,3 +149,4 @@ def load_all() -> None:
     from .operators import histogram  # noqa: F401  value_histogram
     from .text import weights  # noqa: F401  dedup_survivor_weights, stratified_kfold
     from .operators import timetravel  # noqa: F401  state_asof
+    from .multimodal import phash  # noqa: F401  image_phash_dedup
