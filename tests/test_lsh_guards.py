@@ -75,3 +75,51 @@ def test_bucket_stats_report_dropped_mass(spark, sf_dir):
         # sf0.001 corpus has no degenerate buckets — nothing dropped
         assert r.n_docs_dropped == 0
         assert r.max_bucket_size <= MAX_BUCKET
+
+
+def test_semantic_max_cell_cap_fails_open(spark, sf_dir, tmp_path, monkeypatch):
+    """The MAX_CELL pair-stage cap never binds at fixture scale, so the
+    oracle gate alone proves nothing about the fail-open path. Plant a
+    degenerate cell (identical embeddings, cap monkeypatched to 64):
+    rows past the cap must be KEPT (fail open, conservative for training
+    data), in-cap duplicates removed down to the smallest id, and
+    semantic_cell_stats must report the skipped mass."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_stream_batch_etl_spark.dedup import semantic
+
+    monkeypatch.setattr(semantic, "MAX_CELL", 64)
+    n = 80  # one cell of 80 identical vectors > cap of 64
+    planted = tmp_path / "degenerate"
+    planted.mkdir()
+    emb = [0.1] * 64
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([emb] * n, pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        str(planted / "embeddings.parquet"),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"):
+        _os.symlink(f"{sf_dir}/{t}.parquet", planted / f"{t}.parquet")
+
+    out = {r.vec_id: r.kept for r in semantic.semantic_dedup(spark, str(planted)).collect()}
+    assert len(out) == n
+    in_cap = {v: k for v, k in out.items() if v < 64}
+    overflow = {v: k for v, k in out.items() if v >= 64}
+    assert in_cap[0] is True  # smallest id survives its dup group
+    assert sum(1 for k in in_cap.values() if not k) == 63  # rest removed
+    assert all(overflow.values()), "fail-open violated: overflow rows removed"
+
+    stats = semantic.semantic_cell_stats(spark, str(planted)).collect()
+    assert len(stats) == 1
+    assert stats[0].n_cell == n
+    assert stats[0].n_compared == 64
+    assert stats[0].n_skipped == n - 64  # dropped mass is REPORTED
