@@ -150,3 +150,4 @@ def load_all() -> None:
     from .text import weights  # noqa: F401  dedup_survivor_weights, stratified_kfold
     from .operators import timetravel  # noqa: F401  state_asof
     from .multimodal import phash  # noqa: F401  image_phash_dedup
+    from .operators import timeseries  # noqa: F401  ts_similarity_topk
