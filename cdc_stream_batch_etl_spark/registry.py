@@ -151,3 +151,4 @@ def load_all() -> None:
     from .operators import timetravel  # noqa: F401  state_asof
     from .multimodal import phash  # noqa: F401  image_phash_dedup
     from .operators import timeseries  # noqa: F401  ts_similarity_topk
+    from .operators import pagerank  # noqa: F401  copurchase_pagerank
