@@ -152,3 +152,4 @@ def load_all() -> None:
     from .multimodal import phash  # noqa: F401  image_phash_dedup
     from .operators import timeseries  # noqa: F401  ts_similarity_topk
     from .operators import pagerank  # noqa: F401  copurchase_pagerank
+    from .operators import delays  # noqa: F401  time_to_convert, fulfillment_lag
