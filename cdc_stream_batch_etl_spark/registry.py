@@ -66,14 +66,15 @@ def load_all() -> None:
               (relational + setops), then the most change-sensitive core
               (segments, products, orders, cdc, semantic, bpe, asof,
               funnel, monitoring, windows). Queries past the window all
-              hold green rows from r1-r4. The 20 round-5 batch
+              hold green rows from r1-r4. The 23 round-5 batch
               additions (state_asof, semantic_dedup_imi, token_quota_by_source,
               key_skew_report, data_quality_report, dedup_ledger,
               ann_ivfpq_topk, k_anonymity_report, winsorize_values,
               kmv_distinct_by_type, countmin_sketch, shipping_priority,
               local_supplier_volume, returned_item_report,
               training_shuffle, value_histogram, dedup_survivor_weights,
-              stratified_kfold, image_phash_dedup, ts_similarity_topk)
+              stratified_kfold, image_phash_dedup, ts_similarity_topk,
+              copurchase_pagerank, time_to_convert, fulfillment_lag)
               register at the tail and take their first driver rows in
               the r6 rotation; service_health lands INSIDE the r5 window
               via the monitoring import (position ~50). kmv_stream is
