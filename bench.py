@@ -67,6 +67,13 @@ HEADLINE: list[str] = [
     "quality_classifier",
     "source_semantic_diversity",
     "compression_gate",
+    # the Arrow-heavy decode pass runs mid-list: at the tail of a ~50-query
+    # session it measured 8x slower (accumulated Python-worker/JVM pressure
+    # — same-JVM pollution class, SCALING.md), mid-list it is stable
+    "image_phash_dedup",
+    "ts_similarity_topk",
+    "copurchase_pagerank",
+    "fulfillment_lag",
     "semantic_dedup_imi",
     "ann_ivfpq_topk",
     "copurchase_pairs",

@@ -36,7 +36,9 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "dedup_ledger", "ann_ivfpq_topk", "token_quota_by_source",
           "key_skew_report", "winsorize_values", "kmv_distinct_by_type",
           "countmin_sketch", "local_supplier_volume", "returned_item_report",
-          "training_shuffle", "value_histogram"]
+          "training_shuffle", "value_histogram",
+          "image_phash_dedup", "ts_similarity_topk", "copurchase_pagerank",
+          "fulfillment_lag"]
 TABLES = {
     "customer",
     "orders",
