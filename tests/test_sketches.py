@@ -240,3 +240,17 @@ def test_kmv_stream_restart_resumes_sketch(spark, sf_dir, tmp_path):
     for et, b in batch.items():
         assert final[et].kth_hash == b.kth_hash, et
         assert final[et].kmv_estimate == b.kmv_estimate, et
+
+
+def test_training_shuffle_epoch_reshuffles(spark, sf_dir, monkeypatch):
+    """A new seed epoch must produce a genuinely different permutation
+    (the per-epoch data-loader reshuffle), while staying a permutation of
+    the same corpus."""
+    from cdc_stream_batch_etl_spark.text import shuffle as sh
+
+    e0 = {r.doc_id: (r.shard, r.position) for r in sh.training_shuffle(spark, sf_dir).collect()}
+    monkeypatch.setattr(sh, "SHUFFLE_SEED", "epoch1")
+    e1 = {r.doc_id: (r.shard, r.position) for r in sh.training_shuffle(spark, sf_dir).collect()}
+    assert set(e0) == set(e1)  # same corpus
+    changed = sum(1 for d in e0 if e0[d] != e1[d])
+    assert changed > len(e0) * 0.9, f"epoch change barely reshuffled: {changed}/{len(e0)}"
