@@ -58,8 +58,8 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), halves AS (
   SELECT vec_id, emb,
-         emb[1:CAST(len(emb) / 2 AS BIGINT)] AS lo,
-         emb[CAST(len(emb) / 2 AS BIGINT) + 1:len(emb)] AS hi
+         emb[1:CAST(floor(len(emb) / 2) AS BIGINT)] AS lo,
+         emb[CAST(floor(len(emb) / 2) AS BIGINT) + 1:len(emb)] AS hi
   FROM e
 ), cent AS (
   SELECT vec_id AS cid, lo AS clo, hi AS chi FROM halves

@@ -225,8 +225,11 @@ def service_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric, and the reference's healthy/degraded/down banding.
 
     Scale: identical cost to pipeline_health (the same five 1-row
-    aggregates); the per-service rows are five projections of the single
-    broadcast-joined stats row unioned together."""
+    aggregates, computed ONCE); the five service rows are an
+    explode(array(struct…)) projection of the single stats row — one
+    scan per source table, not one per service×table. (The earlier
+    union-of-five-selects shape re-derived the whole stats subtree per
+    leg: 35 scans/65 exchanges in PLANS.md vs pipeline_health's 7/13.)"""
     counts = []
     for t in SOURCE_TABLES:
         counts.append(load_table(spark, sf_dir, t).agg(F.count("*").alias(f"n_{t}")))
@@ -249,7 +252,7 @@ def service_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_ratio = F.col("n_ok_events").cast("double") / F.col("n_events")
 
     def row(service, points, detail, status):
-        return src.select(
+        return F.struct(
             F.lit(service).alias("service"),
             points.cast("double").alias("points"),
             F.lit(20.0).alias("max_points"),
@@ -257,36 +260,38 @@ def service_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             status.alias("status"),
         )
 
-    connector = row(
-        "connector",
-        F.when(avail == 5, 20.0).otherwise(0.0),
-        avail,
-        F.when(avail == 5, "healthy").otherwise("down"),
+    services = F.array(
+        row(
+            "connector",
+            F.when(avail == 5, 20.0).otherwise(0.0),
+            avail,
+            F.when(avail == 5, "healthy").otherwise("down"),
+        ),
+        row(
+            "topics",
+            F.round(F.lit(20.0) * avail / 5, 2),
+            avail.cast("double") / 5,
+            F.when(avail == 5, "healthy").when(avail > 0, "degraded").otherwise("down"),
+        ),
+        row(
+            "freshness",
+            F.when(fresh_ok, 20.0).otherwise(0.0),
+            F.unix_timestamp("max_event_ts"),
+            F.when(fresh_ok, "healthy").otherwise("stale"),
+        ),
+        row(
+            "integrity",
+            F.when(F.col("n_null_fk") == 0, 20.0).when(fk_ratio < 0.01, 10.0).otherwise(0.0),
+            fk_ratio,
+            F.when(F.col("n_null_fk") == 0, "healthy")
+            .when(fk_ratio < 0.01, "degraded")
+            .otherwise("down"),
+        ),
+        row(
+            "batch_jobs",
+            F.round(F.lit(20.0) * ok_ratio, 2),
+            ok_ratio,
+            F.when(F.col("n_ok_events") == F.col("n_events"), "healthy").otherwise("degraded"),
+        ),
     )
-    topics = row(
-        "topics",
-        F.round(F.lit(20.0) * avail / 5, 2),
-        avail.cast("double") / 5,
-        F.when(avail == 5, "healthy").when(avail > 0, "degraded").otherwise("down"),
-    )
-    freshness = row(
-        "freshness",
-        F.when(fresh_ok, 20.0).otherwise(0.0),
-        F.unix_timestamp("max_event_ts"),
-        F.when(fresh_ok, "healthy").otherwise("stale"),
-    )
-    integrity = row(
-        "integrity",
-        F.when(F.col("n_null_fk") == 0, 20.0).when(fk_ratio < 0.01, 10.0).otherwise(0.0),
-        fk_ratio,
-        F.when(F.col("n_null_fk") == 0, "healthy")
-        .when(fk_ratio < 0.01, "degraded")
-        .otherwise("down"),
-    )
-    batch = row(
-        "batch_jobs",
-        F.round(F.lit(20.0) * ok_ratio, 2),
-        ok_ratio,
-        F.when(F.col("n_ok_events") == F.col("n_events"), "healthy").otherwise("degraded"),
-    )
-    return connector.unionAll(topics).unionAll(freshness).unionAll(integrity).unionAll(batch)
+    return src.select(F.explode(services).alias("r")).select("r.*")
