@@ -57,57 +57,69 @@ def load_all() -> None:
       r4  — funnel/monitoring trio + semantic_dedup/bpe_token_count, then
               the parity re-verification under the r2 catalog timestamp
               normalization → 49/50 green (random_pick rows-only).
-      r5 (now) — the 14 round-4 additions that registered past the r4
-              window take their FIRST driver rows (leaf modules first so
-              no transitive import steals a slot; survivorship and
-              funnel_gates pull in their dedup/corpus dependency chains,
-              which re-green minhash/ngram/components/clean_corpus for
-              free), then the 6-query parity tail that sat on r1 evidence
-              (relational + setops), then the most change-sensitive core
-              (segments, products, orders, cdc, semantic, bpe, asof,
-              funnel, monitoring, windows). Queries past the window all
-              hold green rows from r1-r4. The 23 round-5 batch
-              additions (state_asof, semantic_dedup_imi, token_quota_by_source,
-              key_skew_report, data_quality_report, dedup_ledger,
-              ann_ivfpq_topk, k_anonymity_report, winsorize_values,
-              kmv_distinct_by_type, countmin_sketch, shipping_priority,
-              local_supplier_volume, returned_item_report,
-              training_shuffle, value_histogram, dedup_survivor_weights,
-              stratified_kfold, image_phash_dedup, ts_similarity_topk,
-              copurchase_pagerank, time_to_convert, fulfillment_lag)
-              register at the tail and take their first driver rows in
-              the r6 rotation; service_health lands INSIDE the r5 window
-              via the monitoring import (position ~50). kmv_stream is
-              streaming-only (pytest parity vs kmv_distinct_by_type).
+      r5  — the 14 round-4 additions took their first driver rows, then
+              the 6-query parity tail, then the change-sensitive core →
+              49/50 full green (compression_gate rows-only by design).
+      r6 (now) — new round-6 operators first (every new op gets its
+              driver row the round it lands), then the 23 round-5
+              additions that registered past the r5 window take their
+              FIRST driver rows. Leaf modules lead (18 slots, no
+              transitive registration); the chained ones follow with
+              their unavoidable re-green imports counted: phash pulls
+              binaryops (4), semantic_imi pulls semantic (2), ledger
+              pulls ngram+minhash (4), ivfpq pulls ann+ivf+pq (5),
+              pagerank pulls basket (2). monitoring closes the window —
+              service_health's plan changed this round (union-of-five →
+              explode(array(struct))) and needs a fresh row. Queries
+              past the window hold green rows from r1-r5; cumulative
+              ledger after r6 = every registered batch query has at
+              least one driver row.
     """
-    # --- positions 1-11: round-4 leaf modules, never driver-checked ---
-    from .operators import rangejoin  # noqa: F401  purchase_context_window
-    from .text import sharding  # noqa: F401  shard_manifest
-    from .text import importance  # noqa: F401  dsir_importance
-    from .text import classifier  # noqa: F401  quality_classifier
-    from .similarity import diversity  # noqa: F401  source_semantic_diversity
-    from .text import compression  # noqa: F401  compression_gate (rows-only)
-    from .operators import basket  # noqa: F401  basket_rules, copurchase_pairs
-    from .text import normalize  # noqa: F401  text_normalize
-    from .similarity import outliers  # noqa: F401  embedding_outliers
-    from .multimodal import audioops  # noqa: F401  multimodal_audio_stats
+    # --- NEW in round 6: first driver rows this round (positions 1-8) ---
+    from .operators import tpch2  # noqa: F401  promo_revenue_share, min_cost_supplier, customer_reach
+    from .operators import drift  # noqa: F401  value_drift
+    from .dedup import containment  # noqa: F401  containment_pairs
+    from .dedup import editdist  # noqa: F401  edit_distance_pairs
+    from .similarity import dimstats  # noqa: F401  embedding_dim_stats
+    from .text import lexical  # noqa: F401  lexical_stats
 
-    # --- r4 modules with registering dependency chains (chain re-greens
-    # ngram/minhash/components and clean_corpus ahead of them) ---
-    from .dedup import survivorship  # noqa: F401  cluster_representatives, incremental_dedup
-    from .text import funnel_gates  # noqa: F401  corpus_gate_funnel
+    # --- round-5 leaf modules, never driver-checked (18 queries) ---
+    from .operators import timetravel  # noqa: F401  state_asof
+    from .text import budget  # noqa: F401  token_quota_by_source
+    from .operators import skew  # noqa: F401  key_skew_report
+    from .operators import quality_report  # noqa: F401  data_quality_report
+    from .operators import privacy  # noqa: F401  k_anonymity_report
+    from .operators import winsorize  # noqa: F401  winsorize_values
+    from .operators import tpch  # noqa: F401  shipping_priority, local_supplier_volume, returned_item_report
+    from .text import shuffle  # noqa: F401  training_shuffle
+    from .operators import histogram  # noqa: F401  value_histogram
+    from .text import weights  # noqa: F401  dedup_survivor_weights, stratified_kfold
+    from .operators import timeseries  # noqa: F401  ts_similarity_topk
+    from .operators import delays  # noqa: F401  time_to_convert, fulfillment_lag
+    from .operators import sketches  # noqa: F401  kmv_distinct_by_type, countmin_sketch
 
-    # --- parity tail: r1-evidence-only queries (positions ~21-28) ---
-    from .operators import relational, setops  # noqa: F401
+    # --- round-5 chained modules (their registering imports re-green) ---
+    from .multimodal import phash  # noqa: F401  image_phash_dedup (+binaryops ×4; plan changed r6)
+    from .dedup import semantic_imi  # noqa: F401  semantic_dedup_imi (+semantic ×2; oracle floor-fixed r6)
+    from .dedup import ledger  # noqa: F401  dedup_ledger (+ngram, minhash ×3)
+    from .similarity import ivfpq  # noqa: F401  ann_ivfpq_topk (+ann ×2, ivf, pq ×2)
+    from .operators import pagerank  # noqa: F401  copurchase_pagerank (+basket ×2)
 
-    # --- change-sensitive core re-green (fills the rest of the window) ---
-    from .operators import segments, products, orders, cdc  # noqa: F401
-    from .dedup import semantic  # noqa: F401
-    from .text import bpe  # noqa: F401
-    from .operators import asof, funnel, monitoring, windows  # noqa: F401
+    # --- changed this round: service_health explode rewrite (closes window) ---
+    from .operators import monitoring  # noqa: F401  pipeline_health, service_health
 
-    # --- past the ~50-entry window: green in r1-r4, order not significant ---
+    # --- past the ~50-entry window: green in r1-r5, order not significant ---
     from . import operators  # noqa: F401
+    from .operators import rangejoin  # noqa: F401
+    from .text import sharding, importance, classifier, compression, normalize  # noqa: F401
+    from .similarity import diversity, outliers  # noqa: F401
+    from .multimodal import audioops  # noqa: F401
+    from .dedup import survivorship  # noqa: F401
+    from .text import funnel_gates  # noqa: F401
+    from .operators import relational, setops  # noqa: F401
+    from .operators import segments, products, orders, cdc  # noqa: F401
+    from .text import bpe  # noqa: F401
+    from .operators import asof, funnel, windows  # noqa: F401
     from .operators import (  # noqa: F401
         anomalies,
         geo,
@@ -118,7 +130,7 @@ def load_all() -> None:
         binning,
         ranking,
     )
-    from .dedup import exact, minhash, simhash, ngram, embedding, components  # noqa: F401
+    from .dedup import exact, simhash, embedding, components  # noqa: F401
     from .text import (  # noqa: F401
         analysis,
         corpus,
@@ -130,27 +142,6 @@ def load_all() -> None:
         contamination,
         lengthdist,
     )
-    from .similarity import ann, ivf, centroids  # noqa: F401
-    from .multimodal import binaryops  # noqa: F401
+    from .similarity import centroids  # noqa: F401
     from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
-    from .similarity import kmeans, quantize, pq  # noqa: F401
-
-    # new in round 5, registered past the window — first driver rows in r6
-    from .dedup import semantic_imi  # noqa: F401
-    from .text import budget  # noqa: F401  token_quota_by_source
-    from .operators import skew  # noqa: F401  key_skew_report
-    from .operators import quality_report  # noqa: F401  data_quality_report
-    from .dedup import ledger  # noqa: F401  dedup_ledger
-    from .similarity import ivfpq  # noqa: F401  ann_ivfpq_topk
-    from .operators import privacy  # noqa: F401  k_anonymity_report
-    from .operators import winsorize  # noqa: F401  winsorize_values
-    from .operators import sketches  # noqa: F401  kmv_distinct_by_type, countmin_sketch
-    from .operators import tpch  # noqa: F401  shipping_priority, local_supplier_volume, returned_item_report
-    from .text import shuffle  # noqa: F401  training_shuffle
-    from .operators import histogram  # noqa: F401  value_histogram
-    from .text import weights  # noqa: F401  dedup_survivor_weights, stratified_kfold
-    from .operators import timetravel  # noqa: F401  state_asof
-    from .multimodal import phash  # noqa: F401  image_phash_dedup
-    from .operators import timeseries  # noqa: F401  ts_similarity_topk
-    from .operators import pagerank  # noqa: F401  copurchase_pagerank
-    from .operators import delays  # noqa: F401  time_to_convert, fulfillment_lag
+    from .similarity import kmeans, quantize  # noqa: F401
