@@ -41,7 +41,7 @@ N_ITER = 3
 # damping 0.85 as exact integer ops: contributed mass ·17 DIV 20
 _BASE = SCALE * 3 // 20  # (1 - 0.85) · SCALE
 
-_EDGES_SQL = f"""
+_EDGES_SQL = """
   SELECT part_a AS src, part_b AS dst FROM pairs
   UNION ALL
   SELECT part_b AS src, part_a AS dst FROM pairs
