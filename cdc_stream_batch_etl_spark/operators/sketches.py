@@ -68,11 +68,11 @@ GROUP BY event_type
 """
 
 
-@register("kmv_distinct_by_type", oracle=_KMV_ORACLE)
-def kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event_type: exact distinct users, the K-th minimum hash, and
-    the KMV cardinality estimate (exact when the set is smaller than K)."""
-    ev = load_table(spark, sf_dir, "events")
+def kmv_sketch(ev: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The KMV sketch frame for an events frame at sketch size ``k`` —
+    parameterized so tests can shrink K below the fixture cardinality and
+    force the kth-hash estimation branch (the registered query uses
+    KMV_K; the sf0.01 driver gate exercises both branches at K=64)."""
     h = (
         ev.select(
             "event_type",
@@ -84,19 +84,26 @@ def kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = h.withColumn("rk", F.row_number().over(w)).withColumn(
         "n_exact", F.count("*").over(Window.partitionBy("event_type"))
     )
-    kth = F.max(F.when(F.col("rk") == KMV_K, F.col("hv")))
+    kth = F.max(F.when(F.col("rk") == k, F.col("hv")))
     n_exact = F.max("n_exact")
     return (
-        ranked.filter(F.col("rk") <= KMV_K)
+        ranked.filter(F.col("rk") <= k)
         .groupBy("event_type")
         .agg(
             n_exact.cast("bigint").alias("n_distinct_exact"),
             kth.cast("bigint").alias("kth_hash"),
-            F.when(n_exact < KMV_K, n_exact.cast("double"))
-            .otherwise((KMV_K - 1) / (kth.cast("double") / F.lit(HASH_SPACE)))
+            F.when(n_exact < k, n_exact.cast("double"))
+            .otherwise((k - 1) / (kth.cast("double") / F.lit(HASH_SPACE)))
             .alias("kmv_estimate"),
         )
     )
+
+
+@register("kmv_distinct_by_type", oracle=_KMV_ORACLE)
+def kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact distinct users, the K-th minimum hash, and
+    the KMV cardinality estimate (exact when the set is smaller than K)."""
+    return kmv_sketch(load_table(spark, sf_dir, "events"), KMV_K)
 
 
 _CMS_ORACLE = f"""

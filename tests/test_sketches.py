@@ -38,6 +38,43 @@ def test_kmv_estimate_within_error_envelope(spark, sf_dir):
             )
 
 
+def test_kmv_estimation_branch_at_small_k(spark, sf_dir):
+    """Force the kth-hash normalization branch regardless of fixture
+    cardinality: shrink K below the per-type distinct count and verify
+    the estimate against the formula applied to the true K-th smallest
+    hash (computed independently here), plus a loose error envelope."""
+    from cdc_stream_batch_etl_spark.operators.sketches import HASH_SPACE, kmv_sketch
+
+    k = 8
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r.event_type: r for r in kmv_sketch(ev, k).collect()}
+
+    hv = ev.select(
+        "event_type", F.expr(hash64_expr("cast(user_id as string)")).alias("hv")
+    ).distinct().collect()
+    by_type = {}
+    for r in hv:
+        by_type.setdefault(r.event_type, []).append(r.hv)
+
+    exercised = 0
+    for et, hashes in by_type.items():
+        hashes.sort()
+        r = rows[et]
+        assert r.n_distinct_exact == len(hashes)
+        if len(hashes) < k:
+            assert r.kmv_estimate == float(len(hashes))
+            continue
+        exercised += 1
+        kth = hashes[k - 1]
+        assert r.kth_hash == kth, et  # the sketch found the true K-th minimum
+        expected = (k - 1) / (kth / HASH_SPACE)
+        assert r.kmv_estimate == expected, et  # exact formula, same floats
+        # k=8 has ~41% RSE; assert the estimate is at least order-correct
+        rel = abs(expected - len(hashes)) / len(hashes)
+        assert rel < 5 / math.sqrt(k - 2), (et, rel)
+    assert exercised > 0, "fixture too small to exercise the estimation branch"
+
+
 def test_kmv_sketch_merges(spark, sf_dir):
     """k-smallest(k-smallest(A) ∪ k-smallest(B)) == k-smallest(A ∪ B):
     split the corpus by user parity, sketch each half, merge, and compare
@@ -117,22 +154,28 @@ def test_kmv_stream_final_state_equals_batch(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(str(src) + "/b*")
     )
+    out = str(tmp_path / "out")
+    # stamp each emission with its micro-batch id: once the sketch
+    # saturates at K, n_hashes ties across emissions and ordering by it
+    # would pick an arbitrary (possibly stale) row — the batch id is the
+    # only unambiguous "latest" key
     q = (
         kmv_stream(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName("kmv_out")
+        .writeStream.foreachBatch(
+            lambda bdf, bid: bdf.withColumn("bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    # last emission per event_type = final sketch state
-    final = {
-        r.event_type: r
-        for r in spark.sql(
-            "SELECT * FROM kmv_out ORDER BY n_hashes"  # later emissions have >= hashes
-        ).collect()
-    }
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        prev = final.get(r.event_type)
+        if prev is None or r.bid > prev.bid:
+            final[r.event_type] = r
     batch = {r.event_type: r for r in kmv_distinct_by_type(spark, sf_dir).collect()}
     assert set(final) == set(batch)
     for et, b in batch.items():
@@ -217,7 +260,12 @@ def test_kmv_stream_restart_resumes_sketch(spark, sf_dir, tmp_path):
         q = (
             kmv_stream(stream)
             .writeStream.foreachBatch(
-                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+                # batch ids keep incrementing across the restart (same
+                # checkpoint), so max bid is the unambiguous final row even
+                # when n_hashes ties at K across emissions
+                lambda bdf, bid: bdf.withColumn("bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(out)
             )
             .option("checkpointLocation", ckpt)
             .outputMode("update")
@@ -233,7 +281,7 @@ def test_kmv_stream_restart_resumes_sketch(spark, sf_dir, tmp_path):
     final = {}
     for r in spark.read.parquet(out).collect():
         prev = final.get(r.event_type)
-        if prev is None or r.n_hashes >= prev.n_hashes:
+        if prev is None or r.bid > prev.bid:
             final[r.event_type] = r
     batch = {r.event_type: r for r in kmv_distinct_by_type(spark, sf_dir).collect()}
     assert set(final) == set(batch)
