@@ -38,7 +38,11 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "countmin_sketch", "local_supplier_volume", "returned_item_report",
           "training_shuffle", "value_histogram",
           "image_phash_dedup", "ts_similarity_topk", "copurchase_pagerank",
-          "fulfillment_lag"]
+          "fulfillment_lag",
+          # round 6
+          "promo_revenue_share", "min_cost_supplier", "customer_reach",
+          "value_drift", "containment_pairs", "edit_distance_pairs",
+          "embedding_dim_stats", "lexical_stats"]
 TABLES = {
     "customer",
     "orders",
