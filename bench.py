@@ -98,6 +98,10 @@ HEADLINE: list[str] = [
     "edit_distance_pairs",
     "embedding_dim_stats",
     "lexical_stats",
+    "event_transitions",
+    "bigram_lift",
+    "source_vocab_overlap",
+    "ngram_novelty",
 ]
 
 

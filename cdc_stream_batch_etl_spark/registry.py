@@ -145,3 +145,10 @@ def load_all() -> None:
     from .similarity import centroids  # noqa: F401
     from .text import composition, decontam, spans, chunking, datacard, postings, lm  # noqa: F401
     from .similarity import kmeans, quantize  # noqa: F401
+
+    # new in round 6, registered past the window — first driver rows in the
+    # r7 rotation (scripts/registry_audit.py tracks them)
+    from .operators import markov  # noqa: F401  event_transitions
+    from .text import collocations  # noqa: F401  bigram_lift
+    from .text import source_sim  # noqa: F401  source_vocab_overlap
+    from .text import novelty  # noqa: F401  ngram_novelty

@@ -112,3 +112,48 @@ def test_tpch_topk_is_take_ordered(spark, sf_dir):
     for q in (shipping_priority, returned_item_report):
         plan = _plan(q(spark, sf_dir), "simple")
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_phash_single_scan_single_arrow_pass(spark, sf_dir):
+    """image_phash_dedup must decode each document ONCE: one FileScan,
+    one ArrowEvalPython/mapInPandas node, the canonical/count as window
+    functions — the r5 agg+join shape ran the whole decode pass twice."""
+    from cdc_stream_batch_etl_spark.multimodal.phash import image_phash_dedup
+
+    plan = _plan(image_phash_dedup(spark, sf_dir), "simple")
+    assert plan.count("Scan ") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_service_health_computes_stats_once(spark, sf_dir):
+    """service_health emits five rows from ONE stats subtree (explode of
+    an array of structs) — 7 scans like pipeline_health, not 35."""
+    from cdc_stream_batch_etl_spark.operators.monitoring import service_health
+
+    plan = _plan(service_health(spark, sf_dir), "simple")
+    assert plan.count("Scan ") == 7, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_transitions_single_user_shuffle(spark, sf_dir):
+    """event_transitions: lead() over the user window = one user-keyed
+    exchange; the (prev, next) agg and probability window are
+    tiny-cardinality. No self-join may appear."""
+    from cdc_stream_batch_etl_spark.operators.markov import event_transitions
+
+    plan = _plan(event_transitions(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan ") == 1, plan
+
+
+def test_source_overlap_is_grouped_pairs_not_self_join(spark, sf_dir):
+    """source_vocab_overlap must expand pairs inside word groups
+    (scan-local transform) — a word-keyed self-join of (source, word)
+    is the round-5 broadcast-blowup class."""
+    from cdc_stream_batch_etl_spark.text.source_sim import source_vocab_overlap
+
+    plan = _plan(source_vocab_overlap(spark, sf_dir), "simple")
+    # the only joins allowed are the two broadcast vocab joins
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan ") <= 3, plan
