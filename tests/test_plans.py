@@ -122,7 +122,9 @@ def test_phash_single_scan_single_arrow_pass(spark, sf_dir):
 
     plan = _plan(image_phash_dedup(spark, sf_dir), "simple")
     assert plan.count("Scan ") == 1, plan
-    assert plan.count("MapInPandas") == 1, plan
+    # encode_bmp + image_ahash chain as two MapInPandas nodes over the
+    # SAME single pass; a second pass would double the Scan count
+    assert plan.count("MapInPandas") == 2, plan
     assert "Join" not in plan, plan
 
 
