@@ -102,6 +102,14 @@ HEADLINE: list[str] = [
     "bigram_lift",
     "source_vocab_overlap",
     "ngram_novelty",
+    "late_order_priorities",
+    "priority_shipping_split",
+    "part_supplier_variety",
+    "bulk_order_customers",
+    "forecast_revenue_change",
+    "state_diff",
+    "state_dwell_times",
+    "lsh_recall_eval",
 ]
 
 

@@ -1,0 +1,80 @@
+"""LSH dedup self-evaluation — recall of the banded MinHash path against
+the exact-join ground truth, as a registered query.
+
+Every approximate rung of the dedup ladder trades recall for scale;
+production pipelines measure that trade on every corpus rather than
+trusting the theory (bucket collisions depend on the actual shingle
+distribution). This operator joins `minhash_lsh_pairs` (the 100 TB
+path) against `ngram_jaccard_pairs` (the exact yardstick) and reports
+the confusion counts and precision/recall in ONE summary row — the
+number a curation run logs next to its dedup stats.
+
+Both sides verify candidates with the same exact Jaccard at the same
+threshold, so precision is structurally 1.0 — the COMPUTED value is
+reported (not hardcoded) precisely so a future change that breaks the
+invariant (e.g. a band-hash bug emitting unverified pairs) fails the
+oracle hash instead of hiding.
+
+Scale: the expensive inputs are the two existing operators (each
+already bounded/capped); the eval itself is a pair-keyed join of two
+pair tables and a 1-row aggregate. The exact side is the quarantined-
+quadratic yardstick (dedup/ngram.py) — at 100 TB this eval runs on a
+sampled partition, never the full corpus, exactly like recall audits
+in production dedup systems.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .minhash import lsh_pairs, pairs_oracle_sql
+from .ngram import _ORACLE as _NGRAM_ORACLE
+from .ngram import ngram_jaccard_pairs
+
+_EVAL_ORACLE = f"""
+WITH truth AS ({_NGRAM_ORACLE}),
+lshp AS ({pairs_oracle_sql()}),
+j AS (
+  SELECT t.doc_a IS NOT NULL AS in_truth, l.doc_a IS NOT NULL AS in_lsh
+  FROM truth t FULL OUTER JOIN lshp l
+    ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+)
+SELECT CAST(count(*) FILTER (WHERE in_truth) AS BIGINT) AS n_truth,
+       CAST(count(*) FILTER (WHERE in_lsh) AS BIGINT) AS n_lsh,
+       CAST(count(*) FILTER (WHERE in_truth AND in_lsh) AS BIGINT) AS n_common,
+       CAST(count(*) FILTER (WHERE in_truth AND in_lsh) AS DOUBLE)
+         / count(*) FILTER (WHERE in_lsh) AS precision,
+       CAST(count(*) FILTER (WHERE in_truth AND in_lsh) AS DOUBLE)
+         / count(*) FILTER (WHERE in_truth) AS recall
+FROM j
+"""
+
+
+@register("lsh_recall_eval", oracle=_EVAL_ORACLE)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_truth, n_lsh, n_common, precision, recall) of the
+    banded-LSH near-dup pairs vs the exact-join ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lshp = lsh_pairs(docs).select("doc_a", "doc_b")
+    j = truth.withColumn("t", F.lit(True)).join(
+        lshp.withColumn("l", F.lit(True)), ["doc_a", "doc_b"], "full_outer"
+    )
+    in_truth = F.col("t").isNotNull()
+    in_lsh = F.col("l").isNotNull()
+    return j.agg(
+        F.count(F.when(in_truth, 1)).alias("n_truth"),
+        F.count(F.when(in_lsh, 1)).alias("n_lsh"),
+        F.count(F.when(in_truth & in_lsh, 1)).alias("n_common"),
+        (
+            F.count(F.when(in_truth & in_lsh, 1)).cast("double")
+            / F.count(F.when(in_lsh, 1))
+        ).alias("precision"),
+        (
+            F.count(F.when(in_truth & in_lsh, 1)).cast("double")
+            / F.count(F.when(in_truth, 1))
+        ).alias("recall"),
+    )

@@ -152,3 +152,6 @@ def load_all() -> None:
     from .text import collocations  # noqa: F401  bigram_lift
     from .text import source_sim  # noqa: F401  source_vocab_overlap
     from .text import novelty  # noqa: F401  ngram_novelty
+    from .operators import tpch3  # noqa: F401  late_order_priorities, priority_shipping_split, part_supplier_variety, bulk_order_customers, forecast_revenue_change
+    from .operators import cdcdiff  # noqa: F401  state_diff, state_dwell_times
+    from .dedup import lsh_eval  # noqa: F401  lsh_recall_eval
