@@ -155,3 +155,6 @@ def load_all() -> None:
     from .operators import tpch3  # noqa: F401  late_order_priorities, priority_shipping_split, part_supplier_variety, bulk_order_customers, forecast_revenue_change
     from .operators import cdcdiff  # noqa: F401  state_diff, state_dwell_times
     from .dedup import lsh_eval  # noqa: F401  lsh_recall_eval
+    from .operators import tpch4  # noqa: F401  small_lot_revenue, bilateral_trade_volume, market_share, customer_order_distribution, sole_blame_suppliers
+    from .text import curation  # noqa: F401  curated_training_set
+    from .multimodal import pngops  # noqa: F401  image_png_roundtrip
