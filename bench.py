@@ -110,6 +110,13 @@ HEADLINE: list[str] = [
     "state_diff",
     "state_dwell_times",
     "lsh_recall_eval",
+    "small_lot_revenue",
+    "bilateral_trade_volume",
+    "market_share",
+    "customer_order_distribution",
+    "sole_blame_suppliers",
+    "curated_training_set",
+    "image_png_roundtrip",
 ]
 
 

@@ -42,7 +42,14 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           # round 6
           "promo_revenue_share", "min_cost_supplier", "customer_reach",
           "value_drift", "containment_pairs", "edit_distance_pairs",
-          "embedding_dim_stats", "lexical_stats"]
+          "embedding_dim_stats", "lexical_stats",
+          "event_transitions", "bigram_lift", "source_vocab_overlap",
+          "ngram_novelty", "late_order_priorities", "priority_shipping_split",
+          "part_supplier_variety", "bulk_order_customers",
+          "forecast_revenue_change", "state_diff", "state_dwell_times",
+          "small_lot_revenue", "bilateral_trade_volume", "market_share",
+          "customer_order_distribution", "sole_blame_suppliers",
+          "curated_training_set", "image_png_roundtrip"]
 TABLES = {
     "customer",
     "orders",
