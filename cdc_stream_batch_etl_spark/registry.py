@@ -35,6 +35,76 @@ ROWS_ONLY: dict[str, str] = {
 }
 
 
+#: Explicit ordering for the front of the ``queries()`` dict. The driver's
+#: correctness harness checks exactly the first 50 entries per round, so the
+#: first 50 names here ARE the round's driver window. ``load_all`` reorders
+#: ``QUERIES`` to this sequence after all registrations run, which decouples
+#: the window from module import order (a chained import like phash→binaryops
+#: used to drag 4 already-green re-greens into the window). Names not listed
+#: keep their registration order after the listed ones; listed names missing
+#: from the registry are ignored (defensive — lets the list lead the code).
+#:
+#: r6 window: service_health (plan rewritten this round) + the 49
+#: highest-priority never-driver-checked queries. lsh_recall_eval is
+#: deliberately 51st — see load_all's docstring.
+WINDOW_PRIORITY: tuple[str, ...] = (
+    "service_health",
+    # round-6 additions, first driver rows
+    "promo_revenue_share",
+    "min_cost_supplier",
+    "customer_reach",
+    "value_drift",
+    "containment_pairs",
+    "edit_distance_pairs",
+    "embedding_dim_stats",
+    "lexical_stats",
+    "event_transitions",
+    "bigram_lift",
+    "source_vocab_overlap",
+    "ngram_novelty",
+    "late_order_priorities",
+    "priority_shipping_split",
+    "part_supplier_variety",
+    "bulk_order_customers",
+    "forecast_revenue_change",
+    "state_diff",
+    "state_dwell_times",
+    "small_lot_revenue",
+    "bilateral_trade_volume",
+    "market_share",
+    "customer_order_distribution",
+    "sole_blame_suppliers",
+    "curated_training_set",
+    "image_png_roundtrip",
+    # round-5 additions that registered past the r5 window, first driver rows
+    "state_asof",
+    "token_quota_by_source",
+    "key_skew_report",
+    "data_quality_report",
+    "k_anonymity_report",
+    "winsorize_values",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_item_report",
+    "training_shuffle",
+    "value_histogram",
+    "dedup_survivor_weights",
+    "stratified_kfold",
+    "ts_similarity_topk",
+    "time_to_convert",
+    "fulfillment_lag",
+    "kmv_distinct_by_type",
+    "countmin_sketch",
+    "image_phash_dedup",
+    "semantic_dedup_imi",
+    "dedup_ledger",
+    "ann_ivfpq_topk",
+    "copurchase_pagerank",
+    # --- 51st: first out of the window, first into the r7 rotation ---
+    "lsh_recall_eval",
+)
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -60,20 +130,21 @@ def load_all() -> None:
       r5  — the 14 round-4 additions took their first driver rows, then
               the 6-query parity tail, then the change-sensitive core →
               49/50 full green (compression_gate rows-only by design).
-      r6 (now) — new round-6 operators first (every new op gets its
-              driver row the round it lands), then the 23 round-5
-              additions that registered past the r5 window take their
-              FIRST driver rows. Leaf modules lead (18 slots, no
-              transitive registration); the chained ones follow with
-              their unavoidable re-green imports counted: phash pulls
-              binaryops (4), semantic_imi pulls semantic (2), ledger
-              pulls ngram+minhash (4), ivfpq pulls ann+ivf+pq (5),
-              pagerank pulls basket (2). monitoring closes the window —
-              service_health's plan changed this round (union-of-five →
-              explode(array(struct))) and needs a fresh row. Queries
-              past the window hold green rows from r1-r5; cumulative
-              ledger after r6 = every registered batch query has at
-              least one driver row.
+      r6 (now) — the window is no longer constrained by import order:
+              after every module registers, ``load_all`` reorders
+              ``QUERIES`` by the explicit ``WINDOW_PRIORITY`` list, so
+              transitive imports (phash→binaryops, ledger→ngram+minhash,
+              ivfpq→ann+ivf+pq, …) no longer burn front slots on
+              re-greens. Priority = ``service_health`` first (its plan
+              changed this round: union-of-five → explode(array(struct)),
+              so the rewrite needs a fresh row) followed by every query
+              that has never had a driver row — 50 of them, so the 51st
+              (``lsh_recall_eval``, an eval harness composed from two
+              operators that are themselves driver-green since r5, with
+              its recall floor pytest-gated) falls just past the window
+              and rotates first in r7. Cumulative ledger after r6 =
+              every registered batch query except that one (plus any
+              operators added later this round) has a driver row.
     """
     # --- NEW in round 6: first driver rows this round (positions 1-8) ---
     from .operators import tpch2  # noqa: F401  promo_revenue_share, min_cost_supplier, customer_reach
@@ -158,3 +229,10 @@ def load_all() -> None:
     from .operators import tpch4  # noqa: F401  small_lot_revenue, bilateral_trade_volume, market_share, customer_order_distribution, sole_blame_suppliers
     from .text import curation  # noqa: F401  curated_training_set
     from .multimodal import pngops  # noqa: F401  image_png_roundtrip
+
+    # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
+    # dict re-insertion — idempotent across repeated load_all() calls.
+    ordered = {n: QUERIES[n] for n in WINDOW_PRIORITY if n in QUERIES}
+    ordered.update((n, fn) for n, fn in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
