@@ -117,7 +117,22 @@ HEADLINE: list[str] = [
     "sole_blame_suppliers",
     "curated_training_set",
     "image_png_roundtrip",
+    "product_type_profit",
+    "important_stock",
+    "top_supplier",
+    "discounted_revenue",
+    "part_promotion_suppliers",
 ]
+
+
+#: Queries that run ALONE in their own fresh-JVM cohort. The heavy Arrow
+#: codec passes (per-document BMP/PNG encode+decode through mapInPandas)
+#: leave enough Python-worker pressure to inflate themselves AND their
+#: cohort neighbours: image_phash_dedup benched 7.8 s mid-cohort vs 2.24 s
+#: in a solo fresh JVM (3-rep probe, this round) — same mechanism as the
+#: r5 21x outlier, just smaller. JVM startup stays outside every timed
+#: region, so isolation costs wall-clock but zero measured time.
+ISOLATE: frozenset[str] = frozenset({"image_phash_dedup", "image_png_roundtrip"})
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -246,7 +261,9 @@ def main() -> None:
     registry.load_all()
     names = [n for n in HEADLINE if n in registry.QUERIES]
     cohort_size = int(os.environ.get("SPARK_GRAFT_BENCH_COHORT", "12"))
-    cohorts = [names[i : i + cohort_size] for i in range(0, len(names), cohort_size)]
+    grouped = [n for n in names if n not in ISOLATE]
+    cohorts = [grouped[i : i + cohort_size] for i in range(0, len(grouped), cohort_size)]
+    cohorts += [[n] for n in names if n in ISOLATE]
 
     timings: dict[str, float] = {}
     errors = 0

@@ -1,0 +1,336 @@
+"""Fifth (final) TPC-H shape batch: Q9 / Q11 / Q15 / Q19 / Q20 analogues.
+
+With these five the engine covers all 22 TPC-H decision-support shapes
+(Q1 pricing_summary … Q22 customer_reach across tpch.py/tpch2/3/4/5) —
+the full star-schema query surface a user of the reference's batch SQL
+layer (reference batch_processor.py:20-80, four hand-written queries)
+could ever grow into.
+
+Adaptations to the testdata (no partsupp table, no l_commitdate /
+l_shipmode / p_container / region FK on supplier):
+  - "supply cost" derives from the part's retail price at a fixed 60%
+    cost ratio (Q9, Q11) — deterministic, join-compatible, and keeps the
+    profit expression's shape (rev − cost·qty);
+  - Q19's container predicate becomes a p_size band, preserving the
+    three-way disjunction of conjunctive (brand, size, quantity) groups;
+  - Q20's availqty existential becomes shipped-quantity-in-1997 > 50.
+
+Plan shapes at 100 TB:
+  - Q9/Q15: one orderkey/suppkey-shuffled pass over lineitem; part and
+    supplier×nation legs broadcast.
+  - Q11: grouped agg + broadcast 1-row global total (the HAVING
+    >-scalar-subquery idiom with no second scan of the fact table —
+    Spark reuses the agg via a cached 1-row cross join, DuckDB via CTE).
+  - Q15: the argmax-by-global-max spelled as a 1-row broadcast join on
+    EXACT DECIMAL revenue (float equality against a max would be
+    engine-dependent; decimal is bit-stable in both engines).
+  - Q19: the disjunction evaluates scan-side after a broadcast part
+    join; only brand/size predicates push into the part scan.
+  - Q20: grouped existential (no correlated rejoin) + broadcast
+    dimension joins; lineitem shuffled once on (suppkey, partkey).
+Money sums follow functions/money.py (exact decimal, cast double last).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+#: Fixed cost ratio standing in for partsupp.ps_supplycost (no partsupp
+#: table in the testdata) — documented adaptation, identical in oracle.
+COST_RATIO = "0.6"
+
+_Q9_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - {COST_RATIO} * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(18,6))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@register("product_type_profit", oracle=_Q9_ORACLE)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit on a product line by supplier nation and year.
+
+    The name-pattern filter lands on the broadcast part side BEFORE the
+    join, so at 100 TB the fact-side rows for non-matching parts are
+    dropped by the broadcast hash join probe, never shuffled; the only
+    exchange is the final (nation, year) aggregation.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(float(COST_RATIO)) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+#: Q11's cut, adapted scale-stably: the spec's fixed global fraction
+#: (0.0001/SF) selects a different share of parts at every fixture size;
+#: a multiple of the MEAN per-part value selects the same heavy tail at
+#: any scale while preserving the HAVING-against-scalar-subquery shape.
+STOCK_CUT_X_MEAN = "1.5"
+
+_Q11_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST({COST_RATIO} * p_retailprice * l_quantity
+                  AS DECIMAL(18,6))) AS stock_value
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey,
+       CAST(stock_value AS DOUBLE) AS stock_value
+FROM per_part
+WHERE CAST(stock_value AS DOUBLE) >
+      (SELECT CAST(sum(stock_value) AS DOUBLE) / count(*)
+                 * {STOCK_CUT_X_MEAN} FROM per_part)
+"""
+
+
+@register("important_stock", oracle=_Q11_ORACLE)
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose held value exceeds a FRACTION OF THE GLOBAL
+    TOTAL — the HAVING-against-scalar-subquery idiom.
+
+    The per-part aggregate is computed once and reused for both the rows
+    and the global total (1-row broadcast cross join); the comparison
+    runs on exact decimals so both engines make the identical cut. At
+    100 TB: one partkey shuffle + a driver-free 1-row broadcast, no
+    second scan of lineitem.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    value = (
+        F.lit(float(COST_RATIO)) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    per_part = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("stock_value"))
+    )
+    # Reuse the aggregate for the global cut: persist the small per-part
+    # frame (|parts| rows, 2 cols) so the scan+join+agg runs once. The
+    # mean is exact-decimal-sum (cast double) / count — the davg pattern
+    # (functions/money.py) — so both engines compute the identical IEEE
+    # value and make the identical cut.
+    per_part = per_part.persist()
+    cut = per_part.agg(
+        (
+            F.sum("stock_value").cast("double")
+            / F.count("*")
+            * F.lit(float(STOCK_CUT_X_MEAN))
+        ).alias("_cut")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(cut))
+        .filter(F.col("stock_value").cast("double") > F.col("_cut"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("stock_value").cast("double").alias("stock_value"),
+        )
+    )
+
+
+#: Q15's fixed revenue window (the spec's quarter, pinned to testdata dates).
+TOP_SUPPLIER_START = "1998-01-01"
+TOP_SUPPLIER_END = "1998-04-01"
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_START}'
+    AND l_shipdate <  TIMESTAMP '{TOP_SUPPLIER_END}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+@register("top_supplier", oracle=_Q15_ORACLE)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the supplier(s) with maximum revenue over a fixed
+    quarter — aggregate once, then compare to the global max via a 1-row
+    broadcast. The equality runs on EXACT DECIMAL revenue; a double
+    comparison here would be a cross-engine coin flip on ties.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TOP_SUPPLIER_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TOP_SUPPLIER_END).cast("timestamp"))
+    )
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 35)
+"""
+
+
+@register("discounted_revenue", oracle=_Q19_ORACLE)
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue under a three-way disjunction of conjunctive
+    (brand, size, quantity) predicate groups.
+
+    The part side is pre-filtered to the UNION of the brand/size bands
+    (that disjunct pushes into the parquet scan) and broadcast; the
+    mixed part×lineitem disjunction evaluates at the join probe. One
+    aggregation, zero shuffles of lineitem.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+
+    def band(brand: str, size_hi: int, q_lo: int, q_hi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & q.between(q_lo, q_hi)
+        )
+
+    part_pre = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+        | (F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 20)
+        | (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30)
+    )
+    cond = (
+        band("Brand#1", 10, 1, 15)
+        | band("Brand#13", 20, 10, 25)
+        | band("Brand#23", 30, 20, 35)
+    )
+    return (
+        l.join(F.broadcast(p.filter(part_pre)), l["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+#: Q20's availability existential, adapted: shipped > this many units in 1997.
+PROMO_QTY_THRESHOLD = 50
+
+_Q20_ORACLE = f"""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_promo_parts
+FROM shipped sh JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+WHERE sh.qty > {PROMO_QTY_THRESHOLD}
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("part_promotion_suppliers", oracle=_Q20_ORACLE)
+def part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who moved real volume of a product line in a
+    year — the nested-EXISTS chain spelled as ONE grouped pass: filter
+    parts (broadcast), filter the year (scan pushdown), group by
+    (suppkey, partkey), threshold, then count qualifying parts per
+    supplier. No correlated rejoin of lineitem; the second "aggregate of
+    the aggregate" reuses the same suppkey partitioning.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > PROMO_QTY_THRESHOLD)
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        shipped.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_promo_parts"))
+    )

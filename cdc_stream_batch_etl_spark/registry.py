@@ -229,6 +229,7 @@ def load_all() -> None:
     from .operators import tpch4  # noqa: F401  small_lot_revenue, bilateral_trade_volume, market_share, customer_order_distribution, sole_blame_suppliers
     from .text import curation  # noqa: F401  curated_training_set
     from .multimodal import pngops  # noqa: F401  image_png_roundtrip
+    from .operators import tpch5  # noqa: F401  product_type_profit, important_stock, top_supplier, discounted_revenue, part_promotion_suppliers — completes all 22 TPC-H shapes; r7 rotation
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

@@ -49,7 +49,9 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "forecast_revenue_change", "state_diff", "state_dwell_times",
           "small_lot_revenue", "bilateral_trade_volume", "market_share",
           "customer_order_distribution", "sole_blame_suppliers",
-          "curated_training_set", "image_png_roundtrip"]
+          "curated_training_set", "image_png_roundtrip",
+          "product_type_profit", "important_stock", "top_supplier",
+          "discounted_revenue", "part_promotion_suppliers"]
 TABLES = {
     "customer",
     "orders",

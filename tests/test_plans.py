@@ -159,3 +159,39 @@ def test_source_overlap_is_grouped_pairs_not_self_join(spark, sf_dir):
     # the only joins allowed are the two broadcast vocab joins
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Scan ") <= 3, plan
+
+
+def test_tpch5_part_filter_broadcasts_before_fact_join(spark, sf_dir):
+    """Q9/Q19/Q20 shapes: the part-side predicate must land under a
+    BroadcastHashJoin build side (fact rows for non-matching parts are
+    dropped at the probe, never shuffled); no CartesianProduct."""
+    from cdc_stream_batch_etl_spark.operators.tpch5 import (
+        discounted_revenue,
+        part_promotion_suppliers,
+        product_type_profit,
+    )
+
+    for q in (product_type_profit, discounted_revenue, part_promotion_suppliers):
+        plan = _plan(q(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch5_scalar_subquery_reuses_aggregate(spark, sf_dir):
+    """Q11/Q15 shapes: the global cut must come from the SAME per-group
+    aggregate (persisted, then a 1-row broadcast), not a second scan of
+    lineitem. InMemoryTableScan appearing twice with a single parquet
+    Scan per side proves the reuse."""
+    from cdc_stream_batch_etl_spark.operators.tpch5 import (
+        important_stock,
+        top_supplier,
+    )
+
+    for q in (important_stock, top_supplier):
+        df = q(spark, sf_dir)
+        plan = _plan(df, "simple")
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        # the 1-row cut joins via broadcast nested loop (single row,
+        # non-equi compare) — never a shuffled cartesian
+        assert "CartesianProduct" not in plan, plan
+        df.sparkSession.catalog.clearCache()
