@@ -122,6 +122,8 @@ HEADLINE: list[str] = [
     "top_supplier",
     "discounted_revenue",
     "part_promotion_suppliers",
+    "bloom_pruned_revenue",
+    "event_autocorr",
 ]
 
 

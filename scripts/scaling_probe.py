@@ -51,7 +51,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "customer_order_distribution", "sole_blame_suppliers",
           "curated_training_set", "image_png_roundtrip",
           "product_type_profit", "important_stock", "top_supplier",
-          "discounted_revenue", "part_promotion_suppliers"]
+          "discounted_revenue", "part_promotion_suppliers",
+          "bloom_pruned_revenue", "event_autocorr"]
 TABLES = {
     "customer",
     "orders",

@@ -195,3 +195,40 @@ def test_tpch5_scalar_subquery_reuses_aggregate(spark, sf_dir):
         # non-equi compare) — never a shuffled cartesian
         assert "CartesianProduct" not in plan, plan
         df.sparkSession.catalog.clearCache()
+
+
+def test_bloom_runtime_filter_injects(spark, sf_dir):
+    """bloom_pruned_revenue's at-scale contract: with the probe side
+    over the application-side threshold (forced to 0 here — at 100 TB
+    the real scan exceeds the 10 GB default naturally) and broadcast
+    off, Catalyst must inject the runtime Bloom pre-filter
+    (might_contain(xxhash64(l_orderkey))) under the lineitem scan, so
+    non-qualifying fact rows are dropped BEFORE the shuffle."""
+    from cdc_stream_batch_etl_spark.operators.bloomjoin import bloom_pruned_revenue
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(bloom_pruned_revenue(spark, sf_dir))
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    # and with defaults restored (small local fixtures) it is absent —
+    # the optimizer applies it only where it pays
+    plan = _plan(bloom_pruned_revenue(spark, sf_dir))
+    assert "might_contain" not in plan, plan
