@@ -100,3 +100,20 @@ def write_bucketed(
     if sort_key:
         writer = writer.sortBy(sort_key)
     writer.saveAsTable(table_name)
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Materialize a table hive-partitioned by low-cardinality columns —
+    the 100 TB partition-PRUNING path, complementing write_bucketed's
+    co-location: bucketing kills the join shuffle, partitioning kills the
+    scan itself for any query that filters on the partition column
+    (Catalyst turns the predicate into PartitionFilters and the
+    non-matching directories are never listed into the scan).
+
+    Partition columns must be low-cardinality (date, source, lang —
+    thousands of values, not millions): each value is a directory, and a
+    high-cardinality partition key degenerates into the small-files
+    problem. Time-series facts partition by day; the curation corpus by
+    (source, lang). Asserted in tests/test_partition_pruning.py.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -16,6 +16,14 @@ the engine; everything else is JVM codegen).
 Scale: state is partitioned by user_id across executors (shuffle on the
 grouping key), size is O(active keys × 32 bytes) — bounded by the
 timeout eviction, with RocksDB state store as the >memory spill path.
+
+Forward path: Spark 4's ``transformWithStateInPandas`` (typed
+ValueState/ListState/MapState + timers, schema evolution, RocksDB-only)
+is the successor API and a drop-in home for this operator's logic. It is
+NOT used here because its driver worker requires ``google.protobuf``,
+which this environment does not ship (verified: the TWS init handshake
+dies in StateMessage_pb2 on import). The applyInPandasWithState form is
+feature-complete for every state shape the engine needs.
 """
 
 from __future__ import annotations
