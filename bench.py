@@ -124,6 +124,8 @@ HEADLINE: list[str] = [
     "part_promotion_suppliers",
     "bloom_pruned_revenue",
     "event_autocorr",
+    "revenue_trend",
+    "quality_calibration",
 ]
 
 

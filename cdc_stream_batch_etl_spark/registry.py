@@ -232,6 +232,8 @@ def load_all() -> None:
     from .operators import tpch5  # noqa: F401  product_type_profit, important_stock, top_supplier, discounted_revenue, part_promotion_suppliers — completes all 22 TPC-H shapes; r7 rotation
     from .operators import bloomjoin  # noqa: F401  bloom_pruned_revenue — runtime-bloom-pruned selective join; r7 rotation
     from .operators import autocorr  # noqa: F401  event_autocorr — integer-exact lag-1 Pearson; r7 rotation
+    from .operators import trend  # noqa: F401  revenue_trend — exact-stat per-group OLS; r7 rotation
+    from .text import calibration  # noqa: F401  quality_calibration — per-source percent-rank; r7 rotation
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

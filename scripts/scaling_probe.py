@@ -52,7 +52,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "curated_training_set", "image_png_roundtrip",
           "product_type_profit", "important_stock", "top_supplier",
           "discounted_revenue", "part_promotion_suppliers",
-          "bloom_pruned_revenue", "event_autocorr"]
+          "bloom_pruned_revenue", "event_autocorr",
+          "revenue_trend", "quality_calibration"]
 TABLES = {
     "customer",
     "orders",
