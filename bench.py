@@ -126,6 +126,7 @@ HEADLINE: list[str] = [
     "event_autocorr",
     "revenue_trend",
     "quality_calibration",
+    "robust_anomalies",
 ]
 
 
