@@ -127,6 +127,7 @@ HEADLINE: list[str] = [
     "revenue_trend",
     "quality_calibration",
     "robust_anomalies",
+    "phrase_search",
 ]
 
 

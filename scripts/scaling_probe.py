@@ -53,7 +53,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "product_type_profit", "important_stock", "top_supplier",
           "discounted_revenue", "part_promotion_suppliers",
           "bloom_pruned_revenue", "event_autocorr",
-          "revenue_trend", "quality_calibration", "robust_anomalies"]
+          "revenue_trend", "quality_calibration", "robust_anomalies",
+          "phrase_search"]
 TABLES = {
     "customer",
     "orders",
