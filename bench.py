@@ -128,6 +128,7 @@ HEADLINE: list[str] = [
     "quality_calibration",
     "robust_anomalies",
     "phrase_search",
+    "source_mix_plan",
 ]
 
 

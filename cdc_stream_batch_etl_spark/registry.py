@@ -236,6 +236,7 @@ def load_all() -> None:
     from .text import calibration  # noqa: F401  quality_calibration — per-source percent-rank; r7 rotation
     from .operators import mad  # noqa: F401  robust_anomalies — median/MAD modified z-score; r7 rotation
     from .text import phrase  # noqa: F401  phrase_search — positional-postings intersection; r7 rotation
+    from .text import mixplan  # noqa: F401  source_mix_plan — mixture keep-rate planning; r7 rotation
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

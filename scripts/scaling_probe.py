@@ -54,7 +54,7 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "discounted_revenue", "part_promotion_suppliers",
           "bloom_pruned_revenue", "event_autocorr",
           "revenue_trend", "quality_calibration", "robust_anomalies",
-          "phrase_search"]
+          "phrase_search", "source_mix_plan"]
 TABLES = {
     "customer",
     "orders",
