@@ -147,15 +147,17 @@ def anomaly_geo_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup windows, dominant nation by lexicographic max of (count, name)
     (deterministic argmax, SURVEY A22), ratio + floor guards (C15).
 
-    The customer/nation dims are broadcast — the fact-side events stream
-    never shuffles for the enrichment join (J4 stream-static shape)."""
+    nation (scale-constant) is broadcast by hint; the customer join is
+    left to AQE — customer grows with the corpus, so forcing a broadcast
+    would OOM at 100× (J4 stream-static shape degrades to a shuffled
+    enrichment join at that scale)."""
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
     counts = (
         events.filter(F.col("event_type") == "signup")
-        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .join(customer, F.col("user_id") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.window("ts", "1 day").alias("w"), "n_name")
         .agg(F.count("*").alias("cnt"))

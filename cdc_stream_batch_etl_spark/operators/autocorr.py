@@ -11,8 +11,11 @@ Determinism (full DuckDB oracle): Pearson r is NOT computed with the
 engines' ``corr()`` (a streaming double accumulation whose value depends
 on row order — a cross-engine coin flip at the last ulp). Instead the
 five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are summed in
-EXACT BIGINT arithmetic over the integer daily counts, and only the
-final closed form
+EXACT DECIMAL(38,0) arithmetic over the integer daily counts (Spark's
+non-ANSI sum(bigint) wraps silently on overflow while DuckDB promotes
+to HUGEINT — at ~1e9 events/day/type Σy² exceeds int64, so both sides
+accumulate in 128-bit-class exact types: decimal(38,0) here, explicit
+HUGEINT casts in the oracle), and only the final closed form
 
     r = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) · sqrt(nΣy² − (Σy)²))
 
@@ -48,8 +51,10 @@ WITH daily AS (
 ), stats AS (
   SELECT event_type,
          count(*) AS n,
-         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-         sum(x * x) AS sxx, sum(y * y) AS syy
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM pairs WHERE x IS NOT NULL
   GROUP BY event_type
 )
@@ -81,13 +86,18 @@ def event_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("x").isNotNull())
     )
+    # decimal(19,0) operands → decimal(38,0) products/sums: exact far
+    # past int64 (see module docstring); n stays bigint (bounded by the
+    # calendar) and is widened per-expression below.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     stats = pairs.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     vx = n * F.col("sxx") - sx * sx

@@ -11,10 +11,16 @@ and a group-by over a wide dimension row with a selective fact filter
 (o_orderdate 1995-2001, segments BUILDING..., regions ASIA...).
 
 Plan shape at 100 TB (asserted by the bench + PLANS.md profile):
-dimensions (region/nation/customer/supplier) broadcast; the only
-corpus-sized shuffles are the orders⋈lineitem join keyed on orderkey
-and the final group-by; top-k is TakeOrderedAndProject, never a global
-sort. Revenue sums follow functions/money.py (decimal(18,6) for the
+scale-constant dimensions (region: 5 rows, nation: 25) carry explicit
+broadcast hints; customer/supplier/part grow linearly with SF
+(SF×150k/10k/200k rows — tens of GB at the 100 TB regime), so their
+join strategy is left to Catalyst + AQE, which still broadcasts them
+at any SF where they fit under autoBroadcastJoinThreshold and degrades
+to shuffled-hash/sort-merge — never an OOM — beyond it
+(tests/test_bucketing.py::test_customer_orders_join_degrades_without_broadcast).
+The only unavoidable corpus-sized shuffles are the orders⋈lineitem
+join keyed on orderkey and the final group-by; top-k is
+TakeOrderedAndProject, never a global sort. Revenue sums follow functions/money.py (decimal(18,6) for the
 discount product) so parallel aggregation order cannot perturb parity.
 """
 
@@ -69,7 +75,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_rev_col().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -98,8 +104,9 @@ GROUP BY n.n_name
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: revenue by nation where the supplier is LOCAL to the
     customer (the two dimension paths constrained equal) — the 6-table
-    snowflake. All four dimensions broadcast; only orders⋈lineitem
-    shuffles corpus-sized rows."""
+    snowflake. nation/region (scale-constant) broadcast by hint;
+    customer/supplier join strategy is AQE's call (they scale with SF);
+    only orders⋈lineitem must shuffle corpus-sized rows."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
@@ -111,9 +118,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (l["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
@@ -156,7 +163,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_rev_col().alias("revenue"))

@@ -8,7 +8,10 @@ partsupp table — the testdata links parts to suppliers through
 lineitem), and anti-join + broadcast scalar subquery (Q22's "customers
 with above-average balance who never ordered").
 
-Plan shape at 100 TB: part/supplier/nation broadcast; the only
+Plan shape at 100 TB: nation (25 rows, scale-constant) broadcast by
+hint; part/supplier scale linearly with SF, so their join strategy is
+left to Catalyst + AQE (broadcast while small, shuffled join — never
+an OOM — at scale); the only
 corpus-sized operations are one scan of lineitem per query plus a
 single keyed shuffle (month, partkey, nationkey respectively). The Q22
 scalar average is a 1-row broadcast crossJoin (the linalg stride idiom),
@@ -66,14 +69,15 @@ GROUP BY date_trunc('month', l.l_shipdate)
 @register("promo_revenue_share", oracle=_Q14_ORACLE)
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: monthly share of revenue from PROMO-type parts —
-    conditional aggregate over a broadcast dimension join."""
+    conditional aggregate over a 2-column part projection (AQE picks
+    broadcast while the projection fits, shuffled join at scale)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             _promo_rev_col().alias("promo_revenue"),
@@ -114,7 +118,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: the cheapest supplier per part by observed unit price
     (extendedprice/quantity), ties broken by smallest suppkey via the
     struct-min convention (the semantic.py argmax idiom, inverted).
-    One lineitem scan, one partkey-keyed shuffle; all dims broadcast."""
+    One lineitem scan, one partkey-keyed shuffle; nation broadcast by
+    hint, part/supplier joins left to AQE (they grow with SF)."""
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
@@ -132,8 +137,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         best.alias("b")
-        .join(F.broadcast(p), F.col("b.l_partkey") == p["p_partkey"])
-        .join(F.broadcast(s).alias("s"), F.col("b.s_suppkey") == F.col("s.s_suppkey"))
+        .join(p, F.col("b.l_partkey") == p["p_partkey"])
+        .join(s.alias("s"), F.col("b.s_suppkey") == F.col("s.s_suppkey"))
         .join(F.broadcast(n), F.col("s.s_nationkey") == n["n_nationkey"])
         .select(
             "p_partkey", "p_name", "unit_cost", "b.s_suppkey", "s_name", "n_name"

@@ -13,7 +13,8 @@ after order; shipmode proxy = l_linestatus).
 
 Plan shapes at 100 TB: the only corpus-sized operations are single
 scans of lineitem/orders and one orderkey-keyed shuffle per query;
-dimension sides broadcast; Q18's aggregate-gate reduces lineitem BEFORE
+nation broadcast by hint, customer/supplier/part joins left to AQE
+(they grow with SF); Q18's aggregate-gate reduces lineitem BEFORE
 joining order/customer detail (never the reverse); Q6 is one scan, one
 1-row aggregate, zero joins. Money sums follow functions/money.py.
 
@@ -127,8 +128,8 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(excluded), l["l_suppkey"] == excluded["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(excluded, l["l_suppkey"] == excluded["s_suppkey"], "left_anti")
+        .join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
     )
@@ -168,7 +169,7 @@ def bulk_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         vol.join(o, vol["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",

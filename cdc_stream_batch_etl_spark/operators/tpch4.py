@@ -17,8 +17,9 @@ lineitem prices only.
 
 Plan shapes at 100 TB: every "correlated subquery" is a window or a
 grouped aggregate on the SAME shuffle key as its consumer (one
-exchange, reused); dimensions broadcast; nothing rejoins the fact
-table twice. Money sums follow functions/money.py.
+exchange, reused); nation (scale-constant) broadcast by hint while
+customer/supplier joins are left to Catalyst + AQE (they grow with
+SF); nothing rejoins the fact table twice. Money sums follow functions/money.py.
 """
 
 from __future__ import annotations
@@ -104,8 +105,8 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n1), c["c_nationkey"] == F.col("nk1"))
         .join(F.broadcast(n2), s["s_nationkey"] == F.col("nk2"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -153,7 +154,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,6)")
     t = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(
             F.year("o_orderdate").cast("bigint").alias("order_year"),
@@ -261,7 +262,7 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.filter(
             (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
         )
-        .join(F.broadcast(s), F.col("late_suppkey") == s["s_suppkey"])
+        .join(s, F.col("late_suppkey") == s["s_suppkey"])
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_solely_late_orders"))
     )

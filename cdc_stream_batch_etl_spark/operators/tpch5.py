@@ -16,18 +16,21 @@ l_shipmode / p_container / region FK on supplier):
   - Q20's availqty existential becomes shipped-quantity-in-1997 > 50.
 
 Plan shapes at 100 TB:
-  - Q9/Q15: one orderkey/suppkey-shuffled pass over lineitem; part and
-    supplier×nation legs broadcast.
+  - Q9/Q15: one orderkey/suppkey-shuffled pass over lineitem; nation
+    (25 rows, scale-constant) broadcast by hint. part/supplier grow
+    linearly with SF (tens of GB at the 100 TB regime), so their join
+    strategy is left to Catalyst + AQE — broadcast while they fit under
+    autoBroadcastJoinThreshold, shuffled join (never an OOM) beyond.
   - Q11: grouped agg + broadcast 1-row global total (the HAVING
     >-scalar-subquery idiom with no second scan of the fact table —
     Spark reuses the agg via a cached 1-row cross join, DuckDB via CTE).
   - Q15: the argmax-by-global-max spelled as a 1-row broadcast join on
     EXACT DECIMAL revenue (float equality against a max would be
     engine-dependent; decimal is bit-stable in both engines).
-  - Q19: the disjunction evaluates scan-side after a broadcast part
-    join; only brand/size predicates push into the part scan.
-  - Q20: grouped existential (no correlated rejoin) + broadcast
-    dimension joins; lineitem shuffled once on (suppkey, partkey).
+  - Q19: the disjunction evaluates at the part-join probe; only
+    brand/size predicates push into the part scan. Join strategy AQE's.
+  - Q20: grouped existential (no correlated rejoin); lineitem shuffled
+    once on (suppkey, partkey); part/supplier joins left to AQE.
 Money sums follow functions/money.py (exact decimal, cast double last).
 """
 
@@ -63,10 +66,11 @@ GROUP BY n.n_name, year(o.o_orderdate)
 def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape: profit on a product line by supplier nation and year.
 
-    The name-pattern filter lands on the broadcast part side BEFORE the
-    join, so at 100 TB the fact-side rows for non-matching parts are
-    dropped by the broadcast hash join probe, never shuffled; the only
-    exchange is the final (nation, year) aggregation.
+    The name-pattern filter lands on the part side BEFORE the join, so
+    the fact-side rows for non-matching parts are dropped at the join
+    probe (AQE broadcasts the filtered part frame whenever it fits —
+    and can inject a runtime row-filter when it does not) rather than
+    surviving to the final (nation, year) aggregation exchange.
     """
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_orderkey", "l_suppkey",
@@ -85,9 +89,9 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(float(COST_RATIO)) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,6)")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -137,7 +141,7 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(COST_RATIO)) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,6)")
     per_part = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("l_partkey")
         .agg(F.sum(value).alias("stock_value"))
     )
@@ -146,6 +150,11 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean is exact-decimal-sum (cast double) / count — the davg pattern
     # (functions/money.py) — so both engines compute the identical IEEE
     # value and make the identical cut.
+    # CALLER-MUST-CLEAR contract: the returned DataFrame is lazy, so this
+    # bounded (|parts|-row) cache cannot be unpersisted here without
+    # recomputing the scan twice; callers release it with
+    # ``spark.catalog.clearCache()`` after consuming the result (bench.py
+    # does per timed run; the driver/tests per query).
     per_part = per_part.persist()
     cut = per_part.agg(
         (
@@ -205,14 +214,14 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("total_revenue")
         )
-        .persist()
+        .persist()  # caller-must-clear, same contract as important_stock
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
@@ -241,9 +250,9 @@ def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, size, quantity) predicate groups.
 
     The part side is pre-filtered to the UNION of the brand/size bands
-    (that disjunct pushes into the parquet scan) and broadcast; the
-    mixed part×lineitem disjunction evaluates at the join probe. One
-    aggregation, zero shuffles of lineitem.
+    (that disjunct pushes into the parquet scan); the mixed
+    part×lineitem disjunction evaluates at the join probe. One
+    aggregation; AQE broadcasts the filtered part frame while it fits.
     """
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
@@ -269,7 +278,7 @@ def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | band("Brand#23", 30, 20, 35)
     )
     return (
-        l.join(F.broadcast(p.filter(part_pre)), l["l_partkey"] == p["p_partkey"])
+        l.join(p.filter(part_pre), l["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
             F.sum(
@@ -308,7 +317,7 @@ GROUP BY s.s_suppkey, s.s_name
 def part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 shape: suppliers who moved real volume of a product line in a
     year — the nested-EXISTS chain spelled as ONE grouped pass: filter
-    parts (broadcast), filter the year (scan pushdown), group by
+    parts (key projection), filter the year (scan pushdown), group by
     (suppkey, partkey), threshold, then count qualifying parts per
     supplier. No correlated rejoin of lineitem; the second "aggregate of
     the aggregate" reuses the same suppkey partitioning.
@@ -323,14 +332,14 @@ def part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     shipped = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > PROMO_QTY_THRESHOLD)
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        shipped.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        shipped.join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_promo_parts"))
     )

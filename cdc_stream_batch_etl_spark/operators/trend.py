@@ -9,8 +9,12 @@ the trend is the first derivative its dashboards would ask for next.
 Determinism (full DuckDB oracle): like event_autocorr, the engines'
 `regr_slope` is an order-dependent double accumulation — not used.
 The sufficient statistics are exact: x = integer day index
-(datediff from a fixed epoch), y = exact DECIMAL daily revenue, so
-Σx/Σx² are BIGINT and Σy/Σxy are DECIMAL — all order-independent.
+(datediff from a fixed epoch), y = exact DECIMAL daily revenue. On the
+Spark side x is widened to decimal(19,0) before the products so
+Σx/Σx²/Σxy accumulate in decimal(38,·) — Spark's non-ANSI sum(bigint)
+would wrap silently on int64 overflow at extreme day counts, while
+decimal sums stay exact to 38 digits (DuckDB's sums promote to
+HUGEINT/decimal(38,·) on their own). All order-independent.
 Only the final closed form
 
     slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
@@ -19,7 +23,8 @@ Only the final closed form
 runs in double, the same literal IEEE expression both engines.
 
 Scale: one (nation, day) hash-agg over the orders scan (calendar-bounded
-group count), dims broadcast, then a per-nation 6-column agg. No window,
+group count), nation broadcast by hint (customer join left to AQE —
+it grows with the corpus), then a per-nation 6-column agg. No window,
 no sort; the only full-data exchange is the first aggregation.
 """
 
@@ -73,7 +78,7 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     daily = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -81,12 +86,13 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
     )
+    xd = F.col("x").cast("decimal(19,0)")
     stats = daily.groupBy("nation").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
     )
     nn, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     slope = (nn * F.col("sxy") - sx * sy).cast("double") / (

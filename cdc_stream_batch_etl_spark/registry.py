@@ -44,64 +44,67 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r6 window: service_health (plan rewritten this round) + the 49
-#: highest-priority never-driver-checked queries. lsh_recall_eval is
-#: deliberately 51st — see load_all's docstring.
+#: r7 window: (a) the 13 operators that have never had a driver row
+#: (closing the 183-query ledger for the first time), then (b) every
+#: query whose PLAN or SEMANTICS changed this round — the 11 de-hinted
+#: broadcast queries outside (a), plus quality_calibration's tie-stable
+#: rewrite and copurchase_pagerank's cached-graph rewrite sit inside
+#: (a)/(b) already — then (c) the change-sensitive parity core.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "service_health",
-    # round-6 additions, first driver rows
-    "promo_revenue_share",
-    "min_cost_supplier",
-    "customer_reach",
-    "value_drift",
-    "containment_pairs",
-    "edit_distance_pairs",
-    "embedding_dim_stats",
-    "lexical_stats",
-    "event_transitions",
-    "bigram_lift",
-    "source_vocab_overlap",
-    "ngram_novelty",
-    "late_order_priorities",
-    "priority_shipping_split",
-    "part_supplier_variety",
-    "bulk_order_customers",
-    "forecast_revenue_change",
-    "state_diff",
-    "state_dwell_times",
-    "small_lot_revenue",
-    "bilateral_trade_volume",
-    "market_share",
-    "customer_order_distribution",
-    "sole_blame_suppliers",
-    "curated_training_set",
-    "image_png_roundtrip",
-    # round-5 additions that registered past the r5 window, first driver rows
-    "state_asof",
-    "token_quota_by_source",
-    "key_skew_report",
-    "data_quality_report",
-    "k_anonymity_report",
-    "winsorize_values",
+    # (a) never driver-checked — the entire remaining missing_count
+    "lsh_recall_eval",
+    "product_type_profit",
+    "important_stock",
+    "top_supplier",
+    "discounted_revenue",
+    "part_promotion_suppliers",
+    "bloom_pruned_revenue",
+    "event_autocorr",
+    "revenue_trend",
+    "quality_calibration",
+    "robust_anomalies",
+    "phrase_search",
+    "source_mix_plan",
+    # (b) plans changed in r7 (forced-broadcast hints removed / caching)
     "shipping_priority",
     "local_supplier_volume",
     "returned_item_report",
-    "training_shuffle",
-    "value_histogram",
-    "dedup_survivor_weights",
-    "stratified_kfold",
-    "ts_similarity_topk",
-    "time_to_convert",
-    "fulfillment_lag",
-    "kmv_distinct_by_type",
-    "countmin_sketch",
-    "image_phash_dedup",
-    "semantic_dedup_imi",
-    "dedup_ledger",
-    "ann_ivfpq_topk",
+    "promo_revenue_share",
+    "min_cost_supplier",
+    "part_supplier_variety",
+    "bulk_order_customers",
+    "bilateral_trade_volume",
+    "market_share",
+    "sole_blame_suppliers",
+    "anomaly_geo_concentration",
     "copurchase_pagerank",
-    # --- 51st: first out of the window, first into the r7 rotation ---
-    "lsh_recall_eval",
+    # (c) change-sensitive core: reference-parity flagships + one
+    # representative per pipeline family, re-greened every round
+    "customer_segments",
+    "product_insights",
+    "order_analytics",
+    "pricing_summary",
+    "latest_state",
+    "user_activity",
+    "alerts_summary",
+    "cdc_stats",
+    "change_log",
+    "minute_metrics",
+    "geo_distribution",
+    "revenue_analytics",
+    "entity_lifecycle",
+    "running_revenue",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "dedup_components",
+    "semantic_dedup",
+    "ann_cosine_topk",
+    "ann_ivfpq_topk",
+    "doc_token_stats",
+    "clean_corpus",
+    "curated_training_set",
+    "image_phash_dedup",
 )
 
 
@@ -130,21 +133,17 @@ def load_all() -> None:
       r5  — the 14 round-4 additions took their first driver rows, then
               the 6-query parity tail, then the change-sensitive core →
               49/50 full green (compression_gate rows-only by design).
-      r6 (now) — the window is no longer constrained by import order:
-              after every module registers, ``load_all`` reorders
-              ``QUERIES`` by the explicit ``WINDOW_PRIORITY`` list, so
-              transitive imports (phash→binaryops, ledger→ngram+minhash,
-              ivfpq→ann+ivf+pq, …) no longer burn front slots on
-              re-greens. Priority = ``service_health`` first (its plan
-              changed this round: union-of-five → explode(array(struct)),
-              so the rewrite needs a fresh row) followed by every query
-              that has never had a driver row — 50 of them, so the 51st
-              (``lsh_recall_eval``, an eval harness composed from two
-              operators that are themselves driver-green since r5, with
-              its recall floor pytest-gated) falls just past the window
-              and rotates first in r7. Cumulative ledger after r6 =
-              every registered batch query except that one (plus any
-              operators added later this round) has a driver row.
+      r6  — the window became import-order-independent: after every
+              module registers, ``load_all`` reorders ``QUERIES`` by the
+              explicit ``WINDOW_PRIORITY`` list. 50/50 green.
+      r7 (now) — the 13 never-driver-checked operators lead (closing
+              the 183-query ledger: 170 ever-green + these 13), followed
+              by the 11 queries whose broadcast hints were removed this
+              round (the forced customer/supplier/part broadcasts —
+              VERDICT r6's one at-scale defect — now AQE-chosen; their
+              plans changed, so they need fresh rows), then the parity
+              flagships and one representative per pipeline family as
+              the change-sensitive core.
     """
     # --- NEW in round 6: first driver rows this round (positions 1-8) ---
     from .operators import tpch2  # noqa: F401  promo_revenue_share, min_cost_supplier, customer_reach

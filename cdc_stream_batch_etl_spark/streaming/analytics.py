@@ -137,14 +137,15 @@ def velocity_alerts_stream(events: DataFrame) -> DataFrame:
 
 def geo_concentration_stream(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
     """W9: geographic-concentration alerts as a stream-static join (J4):
-    the signup stream broadcast-joins the static customer/nation dims —
-    the stream side never shuffles for enrichment — then a windowed
+    the signup stream joins the static customer/nation dims (nation
+    broadcast by hint; the customer strategy is Catalyst's — customer
+    grows with the corpus, so a forced broadcast would OOM at scale) — then a windowed
     deterministic argmax (A22: lexicographic max of (count, name)) with
     ratio + floor guards (stream_processor.py:271-290)."""
     src = events.withWatermark("ts", WATERMARK) if events.isStreaming else events
     counts = (
         src.filter(F.col("event_type") == "signup")
-        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .join(customer, F.col("user_id") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.window("ts", "1 day").alias("w"), "n_name")
         .agg(F.count("*").alias("cnt"))

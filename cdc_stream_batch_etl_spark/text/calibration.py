@@ -12,11 +12,16 @@ by construction — and cut on that.
 
 Determinism (full DuckDB oracle): percent_rank is pure integer rank
 arithmetic, (rank − 1) / (n − 1), identical in both engines including
-ties (ties share a rank; a 1-row source calibrates to 0.0). The decile
-bucket is floor arithmetic on that value — no ntile (whose tie
-assignment is row-order-dependent), no transcendental.
+ties — the window orders by raw_score ALONE, so equal scores share a
+rank and calibrate to the SAME value (the desired semantics: two
+identical-quality documents must land in the same decile), which is
+also what keeps the result deterministic without a tiebreaker column
+(a doc_id tiebreaker would be deterministic too, but would split ties
+across deciles). A 1-row source calibrates to 0.0. The decile bucket
+is floor arithmetic on that value — no ntile (whose tie assignment is
+row-order-dependent), no transcendental.
 
-Scale: ONE window pass partitioned by source ordered by (score, doc_id).
+Scale: ONE window pass partitioned by source ordered by raw_score.
 Per-source partitions can exceed an executor at 100 TB only if a single
 source dominates; the skew remedy is the two-level calibrate (percent
 rank within (source, salt) then average — same result in distribution)
@@ -39,10 +44,10 @@ WITH scored AS (
   FROM documents
 )
 SELECT doc_id, source, raw_score,
-       percent_rank() OVER (PARTITION BY source ORDER BY raw_score, doc_id)
+       percent_rank() OVER (PARTITION BY source ORDER BY raw_score)
          AS calibrated,
        CAST(least(floor(percent_rank() OVER (PARTITION BY source
-                                             ORDER BY raw_score, doc_id)
+                                             ORDER BY raw_score)
                         * 10), 9) AS BIGINT) AS decile
 FROM scored
 """
@@ -58,7 +63,7 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("raw_score"),
     )
-    w = Window.partitionBy("source").orderBy("raw_score", "doc_id")
+    w = Window.partitionBy("source").orderBy("raw_score")
     cal = F.percent_rank().over(w)
     return scored.select(
         "doc_id",
