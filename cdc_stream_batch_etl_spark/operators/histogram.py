@@ -48,18 +48,26 @@ GROUP BY bin
 """
 
 
-@register("value_histogram", oracle=_HIST_ORACLE)
-def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The W-bin equi-width histogram of events.value — the mergeable
-    distribution sketch (bin-wise addition merges shards)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+def histogram_sketch(values: DataFrame) -> DataFrame:
+    """The W-bin histogram for any single-column frame named ``value`` —
+    exposed so tests can plant out-of-domain values and verify the edge
+    bins CLAMP them (saturation) instead of dropping rows or growing the
+    sketch past its fixed W-row budget."""
     bin_idx = F.least(
         F.greatest(F.floor((F.col("value") - V_LO) / BIN_W), F.lit(0)),
         F.lit(N_BINS - 1),
     ).cast("bigint")
     return (
-        ev.select(bin_idx.alias("bin"))
+        values.filter(F.col("value").isNotNull())
+        .select(bin_idx.alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("n_rows"))
         .select("bin", "n_rows", (V_LO + F.col("bin") * BIN_W).alias("bin_lo"))
     )
+
+
+@register("value_histogram", oracle=_HIST_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W-bin equi-width histogram of events.value — the mergeable
+    distribution sketch (bin-wise addition merges shards)."""
+    return histogram_sketch(load_table(spark, sf_dir, "events").select("value"))

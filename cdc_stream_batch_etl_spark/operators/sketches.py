@@ -121,12 +121,11 @@ GROUP BY d, bucket
 """
 
 
-@register("countmin_sketch", oracle=_CMS_ORACLE)
-def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The D×W count-min table over per-user event counts — the bounded,
-    mergeable artifact itself (point estimates read min over depths;
-    never an underestimate, tests/test_sketches.py)."""
-    ev = load_table(spark, sf_dir, "events")
+def cms_sketch(ev: DataFrame, width: int = CMS_WIDTH) -> DataFrame:
+    """The D×W count-min table for an events frame at sketch width
+    ``width`` — parameterized so tests can shrink W below the key
+    cardinality and force genuine bucket collisions (saturation), the
+    regime the sketch exists for (the registered query uses CMS_WIDTH)."""
     return (
         ev.select(
             "user_id",
@@ -138,7 +137,7 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     hash64_expr("concat(cast(d as string), ':', cast(user_id as string))")
                 )
-                % CMS_WIDTH
+                % width
             ).alias("bucket"),
         )
         .groupBy(
@@ -147,3 +146,11 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("counter"))
     )
+
+
+@register("countmin_sketch", oracle=_CMS_ORACLE)
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D×W count-min table over per-user event counts — the bounded,
+    mergeable artifact itself (point estimates read min over depths;
+    never an underestimate, tests/test_sketches.py)."""
+    return cms_sketch(load_table(spark, sf_dir, "events"), CMS_WIDTH)

@@ -94,7 +94,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "revenue_analytics",
     "entity_lifecycle",
     "running_revenue",
-    "exact_dedup",
+    "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "dedup_components",
@@ -104,7 +104,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_token_stats",
     "clean_corpus",
     "curated_training_set",
-    "image_phash_dedup",
+    "image_jpeg_roundtrip",
 )
 
 
@@ -236,6 +236,7 @@ def load_all() -> None:
     from .operators import mad  # noqa: F401  robust_anomalies — median/MAD modified z-score; r7 rotation
     from .text import phrase  # noqa: F401  phrase_search — positional-postings intersection; r7 rotation
     from .text import mixplan  # noqa: F401  source_mix_plan — mixture keep-rate planning; r7 rotation
+    from .multimodal import jpegops  # noqa: F401  image_jpeg_roundtrip — baseline JPEG codec (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

@@ -1,0 +1,133 @@
+"""Baseline JPEG codec contracts (multimodal/jpegops.py).
+
+JPEG is lossy, so the oracle hash-match covers only the digest-
+predictable columns (dims/raster size — test_queries.py handles that
+via the registry); everything approximate or structural is gated here:
+reconstruction quality, quality-knob monotonicity, marker framing,
+byte stuffing, Huffman/magnitude round trips, and the rejection paths.
+No external JPEG library exists in this environment, so conformance is
+asserted structurally against the spec constants (ITU T.81 Annex K)
+rather than against libjpeg output.
+"""
+
+import numpy as np
+import pytest
+
+from cdc_stream_batch_etl_spark.multimodal.binaryops import _doc_pixels
+from cdc_stream_batch_etl_spark.multimodal.jpegops import (
+    _build_dec_table,
+    _build_enc_table,
+    _extend,
+    _magnitude,
+    _AC_LUMA_BITS,
+    _AC_LUMA_VALS,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_roundtrip_dimensions_and_quality_on_doc_rasters():
+    for text in ["alpha", "beta beta", "x" * 300]:
+        px = _doc_pixels(text)
+        out = jpeg_decode(jpeg_encode(px, 90))
+        assert out.shape == px.shape  # non-multiple-of-8 dims crop back exactly
+        assert out.dtype == np.uint8
+        assert _psnr(px, out) > 35.0  # q90 on digest-tiled rows
+
+
+def test_smooth_gradient_is_near_lossless():
+    """The DCT's home turf: a smooth gradient at q90 must reconstruct
+    within a couple of counts per pixel — a quantizer or IDCT bug shows
+    up here immediately."""
+    g = np.linspace(0, 255, 128).astype(np.uint8)
+    grad = np.stack([np.tile(g, (96, 1))] * 3, axis=-1)
+    out = jpeg_decode(jpeg_encode(grad, 90))
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 2
+
+
+def test_quality_knob_trades_size_for_error():
+    px = _doc_pixels("quality ladder")
+    lo, hi = jpeg_encode(px, 25), jpeg_encode(px, 95)
+    assert len(lo) < len(hi)  # coarser quantization → smaller payload
+    assert _psnr(px, jpeg_decode(lo)) < _psnr(px, jpeg_decode(hi))
+    # both stay structurally decodable
+    assert jpeg_decode(lo).shape == px.shape
+
+
+def test_marker_framing_is_spec_conformant():
+    blob = jpeg_encode(_doc_pixels("markers"), 90)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"  # SOI/EOI
+    assert blob[2:4] == b"\xff\xe0" and blob[6:11] == b"JFIF\x00"
+    for marker, count in ((b"\xff\xdb", 2), (b"\xff\xc4", 4)):  # DQT, DHT
+        assert blob.count(marker) >= count
+    assert b"\xff\xc0" in blob and b"\xff\xda" in blob  # SOF0, SOS
+
+
+def test_entropy_segment_byte_stuffing():
+    """Every 0xFF inside the entropy-coded segment must be followed by a
+    stuffed 0x00 (or be a marker prefix at the very end) — the decoder
+    depends on it, and a writer bug here corrupts 1/256 of payloads."""
+    blob = jpeg_encode(_doc_pixels("stuffing probe " * 10), 95)
+    sos = blob.index(b"\xff\xda")
+    (ln,) = np.frombuffer(blob[sos + 2 : sos + 4], dtype=">u2")
+    ecs = blob[sos + 2 + int(ln) : -2]
+    i = 0
+    while i < len(ecs):
+        if ecs[i] == 0xFF:
+            assert ecs[i + 1] == 0x00, f"unstuffed 0xFF at ECS offset {i}"
+            i += 2
+        else:
+            i += 1
+
+
+def test_huffman_tables_are_self_inverse():
+    enc = _build_enc_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dec = _build_dec_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    assert len(enc) == sum(_AC_LUMA_BITS)
+    for sym, (code, length) in enc.items():
+        assert dec[(length, code)] == sym
+    # prefix-free: no code is a prefix of a longer one
+    codes = sorted((l, c) for (c, l) in enc.values())
+    for l1, c1 in codes:
+        for l2, c2 in codes:
+            if l2 > l1:
+                assert (c2 >> (l2 - l1)) != c1 or (l1, c1) == (l2, c2)
+
+
+def test_magnitude_extend_roundtrip():
+    for v in list(range(-300, 301)) + [-32767, 32767]:
+        size, bits = _magnitude(v)
+        assert _extend(bits, size) == v
+        if v:
+            assert size == int(abs(v)).bit_length()
+
+
+def test_decoder_rejects_corrupt_and_unsupported_payloads():
+    px = _doc_pixels("reject")
+    blob = jpeg_encode(px, 90)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"BM" + blob[2:])
+    with pytest.raises(ValueError):
+        jpeg_decode(blob[: len(blob) // 2])  # truncated: no EOI/SOS
+    # flip SOF0 → SOF2 (progressive) — must refuse, not mis-decode
+    sof = blob.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode(blob[:sof] + b"\xff\xc2" + blob[sof + 2 :])
+
+
+def test_single_block_and_tiny_images():
+    """Edge geometry: 8×8 exactly one MCU; 1×1 exercises maximal edge
+    padding (7 replicated rows/cols)."""
+    one = np.full((8, 8, 3), 77, dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(one, 90))
+    assert out.shape == (8, 8, 3)
+    assert int(np.abs(out.astype(int) - 77).max()) <= 2  # flat block ≈ DC only
+    dot = np.array([[[200, 10, 30]]], dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(dot, 90))
+    assert out.shape == (1, 1, 3)
+    assert int(np.abs(out.astype(int) - dot.astype(int)).max()) <= 12

@@ -302,3 +302,80 @@ def test_training_shuffle_epoch_reshuffles(spark, sf_dir, monkeypatch):
     assert set(e0) == set(e1)  # same corpus
     changed = sum(1 for d in e0 if e0[d] != e1[d])
     assert changed > len(e0) * 0.9, f"epoch change barely reshuffled: {changed}/{len(e0)}"
+
+
+def test_countmin_saturates_with_observable_collisions(spark):
+    """The planted->saturation bar (the KMV >K fixture precedent,
+    ADVICE r6): shrink W below the key cardinality so buckets MUST hold
+    multiple keys, then verify the sketch in the regime it exists for —
+    (a) at least one key's point estimate strictly OVERcounts (a real
+    collision, so the test would catch a broken hash that degenerated to
+    one key per bucket), (b) the one-sided guarantee still holds for
+    EVERY key (min over depths never undercounts), (c) the sketch stayed
+    inside its fixed D x W budget."""
+    from cdc_stream_batch_etl_spark.operators.sketches import cms_sketch
+
+    width = 16  # 500 keys >> 16 buckets: collisions guaranteed
+    n_keys, reps = 500, 3
+    ev = (
+        spark.range(n_keys * reps)
+        .select((F.col("id") % n_keys).alias("user_id"))
+    )
+    sketch = {
+        (r.depth, r.bucket): r.counter for r in cms_sketch(ev, width).collect()
+    }
+    assert len(sketch) <= CMS_DEPTH * width
+    assert sum(v for (d, _), v in sketch.items() if d == 0) == n_keys * reps
+
+    probe = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            *[
+                (
+                    F.expr(
+                        hash64_expr(f"concat('{d}', ':', cast(user_id as string))")
+                    )
+                    % width
+                ).alias(f"b{d}")
+                for d in range(CMS_DEPTH)
+            ],
+        )
+        .collect()
+    )
+    overcounted = 0
+    for r in probe:
+        est = min(sketch[(d, r[f"b{d}"])] for d in range(CMS_DEPTH))
+        assert est >= reps, f"CMS underestimated user {r.user_id}: {est} < {reps}"
+        if est > reps:
+            overcounted += 1
+    # 500 keys into 16 buckets x 4 depths: every depth holds ~31 keys per
+    # bucket, so a min-over-depths of exactly `reps` for every key would
+    # mean the sketch is not actually summarizing anything
+    assert overcounted > 0, "no collision observed: the sketch never saturated"
+
+
+def test_histogram_clamps_out_of_domain_values_into_edge_bins(spark):
+    """Saturation for the fixed-domain histogram: values beyond [V_LO,
+    V_HI) must CLAMP into the first/last bin — no dropped rows, no bins
+    outside the fixed W-row budget — and the clamped mass must be
+    visible in the edge bins (the bounded structure's loss is
+    observable, the lsh_bucket_stats convention)."""
+    from cdc_stream_batch_etl_spark.operators.histogram import (
+        N_BINS,
+        V_HI,
+        V_LO,
+        histogram_sketch,
+    )
+
+    vals = (
+        spark.range(100).select((F.col("id").cast("double") + 50.0).alias("value"))  # in-domain
+        .unionAll(spark.range(7).select(F.lit(V_HI + 1e6).alias("value")))  # above
+        .unionAll(spark.range(5).select(F.lit(V_LO - 123.4).alias("value")))  # below
+        .unionAll(spark.range(3).select(F.lit(None).cast("double").alias("value")))  # null
+    )
+    bins = {r.bin: r.n_rows for r in histogram_sketch(vals).collect()}
+    assert all(0 <= b < N_BINS for b in bins)  # never grows past the budget
+    assert sum(bins.values()) == 112  # nulls dropped, nothing else lost
+    assert bins[N_BINS - 1] >= 7  # the overflow mass is in the top bin
+    assert bins[0] >= 5  # the underflow mass is in the bottom bin
