@@ -54,7 +54,10 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "discounted_revenue", "part_promotion_suppliers",
           "bloom_pruned_revenue", "event_autocorr",
           "revenue_trend", "quality_calibration", "robust_anomalies",
-          "phrase_search", "source_mix_plan"]
+          "phrase_search", "source_mix_plan",
+          # round 7
+          "shipping_priority", "anomaly_geo_concentration",
+          "image_jpeg_roundtrip"]
 TABLES = {
     "customer",
     "orders",
