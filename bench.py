@@ -171,6 +171,8 @@ HEADLINE: list[str] = [
     "pack_sequences",
     "kmeans_refine",
     "image_jpeg_roundtrip",
+    "bm25_topk",
+    "copurchase_triangles",
 ]
 
 

@@ -49,7 +49,10 @@ ROWS_ONLY: dict[str, str] = {
 #: query whose PLAN or SEMANTICS changed this round — the 11 de-hinted
 #: broadcast queries outside (a), plus quality_calibration's tie-stable
 #: rewrite and copurchase_pagerank's cached-graph rewrite sit inside
-#: (a)/(b) already — then (c) the change-sensitive parity core.
+#: (a)/(b) already — then (c) the change-sensitive parity core plus the
+#: three operators NEW this round (image_jpeg_roundtrip, bm25_topk,
+#: copurchase_triangles), so nothing registered ends r7 without a
+#: driver row.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked — the entire remaining missing_count
     "lsh_recall_eval",
@@ -99,8 +102,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "simhash_near_pairs",
     "dedup_components",
     "semantic_dedup",
-    "ann_cosine_topk",
-    "ann_ivfpq_topk",
+    "bm25_topk",
+    "copurchase_triangles",
     "doc_token_stats",
     "clean_corpus",
     "curated_training_set",
@@ -237,6 +240,8 @@ def load_all() -> None:
     from .text import phrase  # noqa: F401  phrase_search — positional-postings intersection; r7 rotation
     from .text import mixplan  # noqa: F401  source_mix_plan — mixture keep-rate planning; r7 rotation
     from .multimodal import jpegops  # noqa: F401  image_jpeg_roundtrip — baseline JPEG codec (new r7)
+    from .text import bm25  # noqa: F401  bm25_topk — rational-IDF BM25 retrieval (new r7)
+    from .operators import triangles  # noqa: F401  copurchase_triangles — degree-ordered wedge closure (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
