@@ -58,6 +58,19 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           # round 7
           "shipping_priority", "anomaly_geo_concentration",
           "image_jpeg_roundtrip"]
+#: Standing per-row annotations for rows whose base->x8 exponent is a
+#: KNOWN measured artifact, adjudicated in a "## " section below the
+#: table — re-applied on every regeneration so the table never silently
+#: re-flags them as new hazards.
+FOOTNOTES = {
+    "edit_distance_pairs": "transition artifact (window unsaturated at base; "
+    "x8->x16 exponent 0.38) — see round-6 third batch",
+    "lsh_recall_eval": "deliberately-quadratic exact yardstick; contract "
+    "mandates sampled use at scale",
+    "minhash_lsh_pairs": "replication makes every doc an N-way near-dup; "
+    "output itself grows superlinearly — see Notes",
+}
+
 TABLES = {
     "customer",
     "orders",
@@ -140,7 +153,8 @@ def main() -> None:
             t_base = min(t_base, timed(spark, q, BASE))
             t_big = min(t_big, timed(spark, q, out))
             exp = math.log(t_big / t_base) / math.log(n)
-        lines.append(f"| {q} | {t_base:.2f} | {t_big:.2f} | {exp:.2f} |")
+        note = f"  <- {FOOTNOTES[q]}" if q in FOOTNOTES else ""
+        lines.append(f"| {q} | {t_base:.2f} | {t_big:.2f} | {exp:.2f} |{note}")
         print(lines[-1], flush=True)
 
     lines += [
