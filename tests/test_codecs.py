@@ -43,3 +43,42 @@ def test_wav_roundtrip_arbitrary_waveforms(n, seed):
 
 def test_wav_empty_waveform():
     assert len(wav_decode(wav_encode(np.array([], dtype=np.int16)))) == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_arbitrary_rasters(h, w, seed):
+    from cdc_stream_batch_etl_spark.multimodal.pngops import png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(px)), px)  # lossless
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**32 - 1),
+    quality=st.integers(30, 95),
+)
+def test_jpeg_roundtrip_arbitrary_rasters(h, w, seed, quality):
+    """JPEG is lossy, so the property is structural: decode(encode(x))
+    preserves shape/dtype for ANY raster and quality — entropy coding,
+    byte stuffing, padding, and crop must never corrupt framing — and
+    on a CONSTANT raster (pure DC) the round trip is near-exact at any
+    quality, which pins the quantizer/IDCT scaling."""
+    from cdc_stream_batch_etl_spark.multimodal.jpegops import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(px, quality))
+    assert out.shape == px.shape and out.dtype == np.uint8
+
+    flat = np.full((h, w, 3), int(rng.integers(0, 256)), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(flat, quality))
+    assert int(np.abs(out.astype(int) - flat.astype(int)).max()) <= 3
