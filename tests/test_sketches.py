@@ -379,3 +379,27 @@ def test_histogram_clamps_out_of_domain_values_into_edge_bins(spark):
     assert sum(bins.values()) == 112  # nulls dropped, nothing else lost
     assert bins[N_BINS - 1] >= 7  # the overflow mass is in the top bin
     assert bins[0] >= 5  # the underflow mass is in the bottom bin
+
+
+def test_histogram_merges_by_binwise_addition(spark, sf_dir):
+    """The histogram's mergeability claim, proven like the KMV merge
+    test: sketch two disjoint shards separately, add bin-wise, and the
+    merged table must EQUAL the whole-corpus sketch — bin-wise addition
+    is the distributed aggregate contract."""
+    from cdc_stream_batch_etl_spark.operators.histogram import (
+        histogram_sketch,
+        value_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    whole = {r.bin: r.n_rows for r in value_histogram(spark, sf_dir).collect()}
+    a = {
+        r.bin: r.n_rows
+        for r in histogram_sketch(ev.filter(F.col("event_id") % 2 == 0)).collect()
+    }
+    b = {
+        r.bin: r.n_rows
+        for r in histogram_sketch(ev.filter(F.col("event_id") % 2 == 1)).collect()
+    }
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
