@@ -173,6 +173,7 @@ HEADLINE: list[str] = [
     "image_jpeg_roundtrip",
     "bm25_topk",
     "copurchase_triangles",
+    "trending_products",
 ]
 
 

@@ -96,7 +96,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "geo_distribution",
     "revenue_analytics",
     "entity_lifecycle",
-    "running_revenue",
+    "trending_products",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
@@ -242,6 +242,7 @@ def load_all() -> None:
     from .multimodal import jpegops  # noqa: F401  image_jpeg_roundtrip — baseline JPEG codec (new r7)
     from .text import bm25  # noqa: F401  bm25_topk — rational-IDF BM25 retrieval (new r7)
     from .operators import triangles  # noqa: F401  copurchase_triangles — degree-ordered wedge closure (new r7)
+    from .streaming import analytics as _streaming_analytics  # noqa: F401  trending_products — windowed top-N batch twin (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

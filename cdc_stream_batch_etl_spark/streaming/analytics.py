@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG
+from ..registry import register
 from ..functions.labels import alert_severity
 
 _T = DEFAULT_CONFIG.thresholds
@@ -84,6 +85,60 @@ def velocity_stream(events: DataFrame) -> DataFrame:
         )
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
         .select("product_k", F.col("w.start").alias("window_start"), "total_value")
+    )
+
+
+def trending_products_stream(events: DataFrame, n: int = 3) -> DataFrame:
+    """Per-hour top-N products by purchase value — the windowed-rank
+    shape ("trending now") no other stream here covers.
+
+    Streaming DataFrames cannot run rank() windows, so the rank is
+    spelled as a SECOND chained windowed aggregation (the
+    geo_concentration_stream `window(window_time(w))` idiom): stage 1
+    aggregates exact per-(product, hour) revenue; stage 2 collects the
+    hour's (value, product) structs and keeps the top-N via
+    slice(reverse(array_sort(...))) — a bounded aggregation buffer
+    (≤ products-per-hour, and the catalog bounds products), evicted by
+    the same watermark. Ties break toward the higher product id (struct
+    desc order), deterministically in both batch and stream.
+
+    Emits one row per (window, rank): append mode on a stream seals a
+    window once the watermark passes its end; on a batch frame the same
+    graph runs as two plain aggregations — the parity test
+    (tests/test_trending.py) holds the sealed-window outputs equal."""
+    src = events.withWatermark("ts", WATERMARK) if events.isStreaming else events
+    per_product = (
+        src.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("product_k"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value")
+        )
+    )
+    top = (
+        per_product.groupBy(F.window(F.window_time("w"), "1 hour").alias("w"))
+        .agg(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.struct("total_value", "product_k"))
+                    )
+                ),
+                1,
+                n,
+            ).alias("top")
+        )
+    )
+    return top.select(
+        F.col("w.start").alias("window_start"),
+        F.posexplode("top").alias("rank0", "t"),
+    ).select(
+        "window_start",
+        (F.col("rank0") + 1).cast("bigint").alias("rank"),
+        F.col("t.product_k").alias("product_k"),
+        F.col("t.total_value").alias("total_value"),
     )
 
 
@@ -199,3 +254,33 @@ def alerts_stream(events: DataFrame, customer: DataFrame, nation: DataFrame) -> 
         )
         unioned = norm if unioned is None else unioned.unionByName(norm)
     return unioned
+
+
+_TRENDING_ORACLE = """
+WITH per AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS product_k,
+         date_trunc('hour', ts) AS window_start,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT window_start,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY total_value DESC, product_k DESC)
+            AS BIGINT) AS rank,
+       product_k,
+       total_value
+FROM per
+QUALIFY rank <= 3
+"""
+
+
+@register("trending_products", oracle=_TRENDING_ORACLE)
+def trending_products(spark, sf_dir: str) -> DataFrame:
+    """Batch twin of trending_products_stream — identical graph on the
+    static events table (tests/test_trending.py proves stream parity;
+    the oracle proves the chained-agg rank against an independent SQL
+    row_number)."""
+    from ..catalog import load_table
+
+    return trending_products_stream(load_table(spark, sf_dir, "events"), n=3)
