@@ -26,7 +26,14 @@ Scale: edges come from basket mining (one orderkey shuffle, scan-local
 pair expansion — basket.py's plan); degrees are one hash-agg; the
 wedge join shuffles the oriented edge list on its source key (uniform
 after orientation, per the √m bound) and the closure join on the
-(v, w) pair key. Output is |nodes|-sized.
+(v, w) pair key. Output is |nodes|-sized. ``pairs`` and ``oriented``
+are persist()ed — the pair table is referenced three ways (degrees,
+orientation, both wedge sides + closure), and without the cache the
+plan re-derives the basket mining per reference (measured: 45 scans /
+133 exchanges plan-level → 2 scans + 2 cached subtrees). Same
+caller-must-clear contract as copurchase_pagerank/tpch5:
+``spark.catalog.clearCache()`` after consuming (bench.py and the
+tests do).
 """
 
 from __future__ import annotations
@@ -78,7 +85,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation count in the (support ≥
     {MIN_SUPPORT}) co-purchase graph, via degree-ordered wedge closure
     (module docstring)."""
-    pairs = _pairs_from(_baskets(spark, sf_dir)).select("part_a", "part_b")
+    pairs = _pairs_from(_baskets(spark, sf_dir)).select("part_a", "part_b").persist()
     deg = (
         pairs.select(F.col("part_a").alias("node"))
         .unionAll(pairs.select(F.col("part_b").alias("node")))
@@ -97,6 +104,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
             F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
         )
+        .persist()
     )
     w1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))

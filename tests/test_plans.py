@@ -232,3 +232,22 @@ def test_bloom_runtime_filter_injects(spark, sf_dir):
     # the optimizer applies it only where it pays
     plan = _plan(bloom_pruned_revenue(spark, sf_dir))
     assert "might_contain" not in plan, plan
+
+
+def test_triangles_reuse_cached_graph_frames(spark, sf_dir):
+    """copurchase_triangles references the mined pair table three ways
+    (degrees, orientation, wedge+closure sides); the persist() contract
+    means the basket self-join materializes ONCE and every further
+    reference is an InMemoryTableScan — without it the plan re-derives
+    the mining per reference (measured 45 lineage scans)."""
+    from cdc_stream_batch_etl_spark.operators.triangles import copurchase_triangles
+
+    df = copurchase_triangles(spark, sf_dir)
+    df.count()  # materialize the caches
+    plan = _plan(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # post-materialization, the only parquet scan left in the consuming
+    # plan is inside the cached subtree — the wedge/closure joins read
+    # memory, not lineitem
+    assert "Scan parquet" not in plan.split("InMemoryRelation")[0], plan
+    spark.catalog.clearCache()
