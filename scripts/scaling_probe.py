@@ -57,7 +57,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "phrase_search", "source_mix_plan",
           # round 7
           "shipping_priority", "anomaly_geo_concentration",
-          "image_jpeg_roundtrip", "bm25_topk", "copurchase_triangles"]
+          "image_jpeg_roundtrip", "bm25_topk", "copurchase_triangles",
+          "trending_products"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
