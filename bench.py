@@ -174,6 +174,7 @@ HEADLINE: list[str] = [
     "bm25_topk",
     "copurchase_triangles",
     "trending_products",
+    "hybrid_rrf_search",
 ]
 
 

@@ -92,7 +92,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "alerts_summary",
     "cdc_stats",
     "change_log",
-    "minute_metrics",
+    "hybrid_rrf_search",
     "geo_distribution",
     "revenue_analytics",
     "entity_lifecycle",
@@ -243,6 +243,7 @@ def load_all() -> None:
     from .text import bm25  # noqa: F401  bm25_topk — rational-IDF BM25 retrieval (new r7)
     from .operators import triangles  # noqa: F401  copurchase_triangles — degree-ordered wedge closure (new r7)
     from .streaming import analytics as _streaming_analytics  # noqa: F401  trending_products — windowed top-N batch twin (new r7)
+    from .similarity import fusion  # noqa: F401  hybrid_rrf_search — reciprocal-rank fusion of bm25 + cosine (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

@@ -58,7 +58,7 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           # round 7
           "shipping_priority", "anomaly_geo_concentration",
           "image_jpeg_roundtrip", "bm25_topk", "copurchase_triangles",
-          "trending_products"]
+          "trending_products", "hybrid_rrf_search"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
