@@ -175,6 +175,9 @@ HEADLINE: list[str] = [
     "copurchase_triangles",
     "trending_products",
     "hybrid_rrf_search",
+    "gap_filled_daily_revenue",
+    "rolling_median_value",
+    "incremental_agg_refresh",
 ]
 
 

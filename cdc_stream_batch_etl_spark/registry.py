@@ -93,9 +93,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "cdc_stats",
     "change_log",
     "hybrid_rrf_search",
-    "geo_distribution",
-    "revenue_analytics",
-    "entity_lifecycle",
+    "gap_filled_daily_revenue",
+    "rolling_median_value",
+    "incremental_agg_refresh",
     "trending_products",
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -244,6 +244,9 @@ def load_all() -> None:
     from .operators import triangles  # noqa: F401  copurchase_triangles — degree-ordered wedge closure (new r7)
     from .streaming import analytics as _streaming_analytics  # noqa: F401  trending_products — windowed top-N batch twin (new r7)
     from .similarity import fusion  # noqa: F401  hybrid_rrf_search — reciprocal-rank fusion of bm25 + cosine (new r7)
+    from .operators import resample  # noqa: F401  gap_filled_daily_revenue — dense-calendar forward fill (new r7)
+    from .operators import rolling  # noqa: F401  rolling_median_value — per-entity sliding exact median (new r7)
+    from .operators import increment  # noqa: F401  incremental_agg_refresh — partial-merge view maintenance (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
