@@ -117,3 +117,73 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     (source, lang). Asserted in tests/test_partition_pruning.py.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_value(col_a, col_b, min_a, max_a, min_b, max_b, bits: int = 8):
+    """Morton (Z-order) interleave of two numeric columns, each
+    equal-width-binned to 2**bits cells over its [min, max] domain.
+
+    Pure Catalyst integer arithmetic (casts, clamps, shifts, ORs) — no
+    UDF, fully codegen'd. Equal-width binning keeps the expression
+    scan-local (the min/max are plan-time literals supplied by the
+    caller from one agg); a heavily skewed column should be
+    pre-transformed (log) or binned on sampled quantile boundaries
+    before interleaving — the interleave itself is distribution-blind.
+    """
+    from pyspark.sql import functions as F
+
+    cells = (1 << bits) - 1
+
+    def bucket(c, lo, hi):
+        scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(
+            max(float(hi) - float(lo), 1e-12)
+        )
+        return F.least(
+            F.lit(cells), F.greatest(F.lit(0), (scaled * cells).cast("int"))
+        )
+
+    a, b = bucket(col_a, min_a, max_a), bucket(col_b, min_b, max_b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(a.bitwiseAND(F.lit(1 << i)), i + 1))
+            .bitwiseOR(F.shiftleft(b.bitwiseAND(F.lit(1 << i)), i))
+        )
+    return z
+
+
+def write_zorder(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 16
+) -> None:
+    """Materialize a table Z-ORDER-clustered on two columns — the 100 TB
+    DATA-SKIPPING path for multi-dimensional predicates, completing the
+    layout trio: partitioning prunes directories (one column, low
+    cardinality), bucketing kills join shuffles (one key), Z-ordering
+    prunes parquet FILES on TWO high-cardinality columns at once.
+
+    A single-column sort gives perfect min/max file stats on that column
+    and useless ones on every other; the Morton curve's locality makes a
+    contiguous z-range cover a compact ~sqrt x sqrt rectangle of the
+    2-D cell grid, so every output file carries TIGHT min/max footer
+    stats on BOTH columns and a selective predicate on either (or both)
+    overlaps only a fraction of the files. repartitionByRange on the
+    z-value does the global clustering with Spark's sampled range
+    partitioner (no single-partition sort anywhere), and the
+    within-partition sort makes row-group stats monotone too.
+    Asserted measurably in tests/test_zorder.py by reading the parquet
+    footers back and counting files a box predicate can skip.
+    """
+    from pyspark.sql import functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    z = zorder_value(F.col(col_a), F.col(col_b), lo_a, hi_a, lo_b, hi_b)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
