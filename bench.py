@@ -178,6 +178,8 @@ HEADLINE: list[str] = [
     "gap_filled_daily_revenue",
     "rolling_median_value",
     "incremental_agg_refresh",
+    "time_weighted_value",
+    "pps_token_sample",
 ]
 
 

@@ -90,8 +90,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "latest_state",
     "user_activity",
     "alerts_summary",
-    "cdc_stats",
-    "change_log",
+    "time_weighted_value",
+    "pps_token_sample",
     "hybrid_rrf_search",
     "gap_filled_daily_revenue",
     "rolling_median_value",
@@ -247,6 +247,8 @@ def load_all() -> None:
     from .operators import resample  # noqa: F401  gap_filled_daily_revenue — dense-calendar forward fill (new r7)
     from .operators import rolling  # noqa: F401  rolling_median_value — per-entity sliding exact median (new r7)
     from .operators import increment  # noqa: F401  incremental_agg_refresh — partial-merge view maintenance (new r7)
+    from .operators import twap  # noqa: F401  time_weighted_value — exact interval-weighted mean (new r7)
+    from .text import pps_sample  # noqa: F401  pps_token_sample — integer-exact systematic PPS draw (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
