@@ -180,6 +180,7 @@ HEADLINE: list[str] = [
     "incremental_agg_refresh",
     "time_weighted_value",
     "pps_token_sample",
+    "order_backlog_timeline",
 ]
 
 

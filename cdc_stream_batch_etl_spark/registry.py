@@ -88,7 +88,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "order_analytics",
     "pricing_summary",
     "latest_state",
-    "user_activity",
+    "order_backlog_timeline",
     "alerts_summary",
     "time_weighted_value",
     "pps_token_sample",
@@ -249,6 +249,7 @@ def load_all() -> None:
     from .operators import increment  # noqa: F401  incremental_agg_refresh — partial-merge view maintenance (new r7)
     from .operators import twap  # noqa: F401  time_weighted_value — exact interval-weighted mean (new r7)
     from .text import pps_sample  # noqa: F401  pps_token_sample — integer-exact systematic PPS draw (new r7)
+    from .operators import sweepline  # noqa: F401  order_backlog_timeline — sweep-line interval coverage (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
