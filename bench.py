@@ -181,6 +181,7 @@ HEADLINE: list[str] = [
     "time_weighted_value",
     "pps_token_sample",
     "order_backlog_timeline",
+    "revenue_changepoint",
 ]
 
 

@@ -99,7 +99,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "trending_products",
     "dedup_exact",
     "minhash_lsh_pairs",
-    "simhash_near_pairs",
+    "revenue_changepoint",
     "dedup_components",
     "semantic_dedup",
     "bm25_topk",
@@ -250,6 +250,7 @@ def load_all() -> None:
     from .operators import twap  # noqa: F401  time_weighted_value — exact interval-weighted mean (new r7)
     from .text import pps_sample  # noqa: F401  pps_token_sample — integer-exact systematic PPS draw (new r7)
     from .operators import sweepline  # noqa: F401  order_backlog_timeline — sweep-line interval coverage (new r7)
+    from .operators import changepoint  # noqa: F401  revenue_changepoint — exact-integer CUSUM scan (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
