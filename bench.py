@@ -182,6 +182,7 @@ HEADLINE: list[str] = [
     "pps_token_sample",
     "order_backlog_timeline",
     "revenue_changepoint",
+    "trailing_window_rate",
 ]
 
 

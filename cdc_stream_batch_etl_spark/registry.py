@@ -104,7 +104,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "semantic_dedup",
     "bm25_topk",
     "copurchase_triangles",
-    "doc_token_stats",
+    "trailing_window_rate",
     "clean_corpus",
     "curated_training_set",
     "image_jpeg_roundtrip",
@@ -251,6 +251,7 @@ def load_all() -> None:
     from .text import pps_sample  # noqa: F401  pps_token_sample — integer-exact systematic PPS draw (new r7)
     from .operators import sweepline  # noqa: F401  order_backlog_timeline — sweep-line interval coverage (new r7)
     from .operators import changepoint  # noqa: F401  revenue_changepoint — exact-integer CUSUM scan (new r7)
+    from .operators import velocity  # noqa: F401  trailing_window_rate — RANGE-frame trailing-hour velocity (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
