@@ -183,6 +183,7 @@ HEADLINE: list[str] = [
     "order_backlog_timeline",
     "revenue_changepoint",
     "trailing_window_rate",
+    "table_stats",
 ]
 
 

@@ -100,7 +100,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "minhash_lsh_pairs",
     "revenue_changepoint",
-    "dedup_components",
+    "table_stats",
     "semantic_dedup",
     "bm25_topk",
     "copurchase_triangles",
@@ -252,6 +252,7 @@ def load_all() -> None:
     from .operators import sweepline  # noqa: F401  order_backlog_timeline — sweep-line interval coverage (new r7)
     from .operators import changepoint  # noqa: F401  revenue_changepoint — exact-integer CUSUM scan (new r7)
     from .operators import velocity  # noqa: F401  trailing_window_rate — RANGE-frame trailing-hour velocity (new r7)
+    from .operators import tablestats  # noqa: F401  table_stats — single-scan ANALYZE stats + stack unpivot (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

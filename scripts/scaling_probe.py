@@ -61,7 +61,7 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "trending_products", "hybrid_rrf_search", "gap_filled_daily_revenue",
           "rolling_median_value", "incremental_agg_refresh",
           "time_weighted_value", "pps_token_sample", "order_backlog_timeline",
-          "revenue_changepoint", "trailing_window_rate"]
+          "revenue_changepoint", "trailing_window_rate", "table_stats"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
