@@ -184,6 +184,15 @@ HEADLINE: list[str] = [
     "revenue_changepoint",
     "trailing_window_rate",
     "table_stats",
+    "benford_digit_audit",
+    "fk_integrity_audit",
+    "pareto_frontier_orders",
+    "weighted_median_price",
+    "interpolated_daily_revenue",
+    "chisq_independence",
+    "pk_uniqueness_audit",
+    "kmv_set_overlap",
+    "top_event_paths",
 ]
 
 

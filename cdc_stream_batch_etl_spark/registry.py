@@ -84,12 +84,22 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # (c) change-sensitive core: reference-parity flagships + one
     # representative per pipeline family, re-greened every round
     "customer_segments",
-    "product_insights",
-    "order_analytics",
-    "pricing_summary",
-    "latest_state",
     "order_backlog_timeline",
-    "alerts_summary",
+    # (d) NEW this session — each needs its first driver row; the slots
+    # come from eight already-green core re-greens (pricing_summary,
+    # latest_state, alerts_summary, semantic_dedup, clean_corpus,
+    # product_insights, order_analytics, dedup_exact — all green r4/r5
+    # with unchanged plans; driver_sim re-verifies them locally every
+    # commit, and customer_segments + curated_training_set stay in as
+    # the parity / end-to-end re-green sentinels)
+    "fk_integrity_audit",
+    "pareto_frontier_orders",
+    "weighted_median_price",
+    "interpolated_daily_revenue",
+    "chisq_independence",
+    "pk_uniqueness_audit",
+    "kmv_set_overlap",
+    "top_event_paths",
     "time_weighted_value",
     "pps_token_sample",
     "hybrid_rrf_search",
@@ -97,15 +107,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "rolling_median_value",
     "incremental_agg_refresh",
     "trending_products",
-    "dedup_exact",
-    "minhash_lsh_pairs",
+    "benford_digit_audit",
     "revenue_changepoint",
     "table_stats",
-    "semantic_dedup",
     "bm25_topk",
     "copurchase_triangles",
     "trailing_window_rate",
-    "clean_corpus",
     "curated_training_set",
     "image_jpeg_roundtrip",
 )
@@ -253,6 +260,15 @@ def load_all() -> None:
     from .operators import changepoint  # noqa: F401  revenue_changepoint — exact-integer CUSUM scan (new r7)
     from .operators import velocity  # noqa: F401  trailing_window_rate — RANGE-frame trailing-hour velocity (new r7)
     from .operators import tablestats  # noqa: F401  table_stats — single-scan ANALYZE stats + stack unpivot (new r7)
+    from .operators import benford  # noqa: F401  benford_digit_audit — integer-exact first-digit screening (new r7)
+    from .operators import fkaudit  # noqa: F401  fk_integrity_audit — FK-graph orphan detection on grouped keys (new r7)
+    from .operators import pareto  # noqa: F401  pareto_frontier_orders — exact 2-D skyline via suffix-max RANGE windows (new r7)
+    from .operators import wmedian  # noqa: F401  weighted_median_price — exact weighted median on collapsed integer cents (new r7)
+    from .operators import interpolate  # noqa: F401  interpolated_daily_revenue — two-sided linear gap interpolation (new r7)
+    from .operators import chisq  # noqa: F401  chisq_independence — per-cell contingency screen, exact-integer totals (new r7)
+    from .operators import pkaudit  # noqa: F401  pk_uniqueness_audit — per-table key uniqueness on grouped keys (new r7)
+    from .operators import kmvoverlap  # noqa: F401  kmv_set_overlap — merged-KMV audience overlap, deterministic hashes (new r7)
+    from .operators import paths  # noqa: F401  top_event_paths — 3-step journey trigrams via lead() pairs (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

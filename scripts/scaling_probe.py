@@ -61,7 +61,11 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "trending_products", "hybrid_rrf_search", "gap_filled_daily_revenue",
           "rolling_median_value", "incremental_agg_refresh",
           "time_weighted_value", "pps_token_sample", "order_backlog_timeline",
-          "revenue_changepoint", "trailing_window_rate", "table_stats"]
+          "revenue_changepoint", "trailing_window_rate", "table_stats",
+          "benford_digit_audit", "fk_integrity_audit",
+          "pareto_frontier_orders", "weighted_median_price",
+          "interpolated_daily_revenue", "chisq_independence",
+          "pk_uniqueness_audit", "kmv_set_overlap", "top_event_paths"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
