@@ -193,6 +193,10 @@ HEADLINE: list[str] = [
     "pk_uniqueness_audit",
     "kmv_set_overlap",
     "top_event_paths",
+    "orderkey_islands",
+    "ab_test_zscores",
+    "cohort_ltv_curves",
+    "order_status_streaks",
 ]
 
 

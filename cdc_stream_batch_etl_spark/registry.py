@@ -76,22 +76,21 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "min_cost_supplier",
     "part_supplier_variety",
     "bulk_order_customers",
-    "bilateral_trade_volume",
-    "market_share",
-    "sole_blame_suppliers",
-    "anomaly_geo_concentration",
     "copurchase_pagerank",
     # (c) change-sensitive core: reference-parity flagships + one
     # representative per pipeline family, re-greened every round
     "customer_segments",
     "order_backlog_timeline",
     # (d) NEW this session — each needs its first driver row; the slots
-    # come from eight already-green core re-greens (pricing_summary,
+    # come from twelve already-green re-greens (pricing_summary,
     # latest_state, alerts_summary, semantic_dedup, clean_corpus,
-    # product_insights, order_analytics, dedup_exact — all green r4/r5
-    # with unchanged plans; driver_sim re-verifies them locally every
-    # commit, and customer_segments + curated_training_set stay in as
-    # the parity / end-to-end re-green sentinels)
+    # product_insights, order_analytics, dedup_exact — green r4/r5,
+    # plans unchanged — plus four de-hinted queries that are green r6
+    # with hash-identical post-de-hint output: anomaly_geo_concentration,
+    # bilateral_trade_volume, market_share, sole_blame_suppliers;
+    # driver_sim re-verifies all of them locally every commit, and
+    # customer_segments + curated_training_set stay in as the parity /
+    # end-to-end re-green sentinels)
     "fk_integrity_audit",
     "pareto_frontier_orders",
     "weighted_median_price",
@@ -100,6 +99,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "pk_uniqueness_audit",
     "kmv_set_overlap",
     "top_event_paths",
+    "orderkey_islands",
+    "ab_test_zscores",
+    "cohort_ltv_curves",
+    "order_status_streaks",
     "time_weighted_value",
     "pps_token_sample",
     "hybrid_rrf_search",
@@ -269,6 +272,10 @@ def load_all() -> None:
     from .operators import pkaudit  # noqa: F401  pk_uniqueness_audit — per-table key uniqueness on grouped keys (new r7)
     from .operators import kmvoverlap  # noqa: F401  kmv_set_overlap — merged-KMV audience overlap, deterministic hashes (new r7)
     from .operators import paths  # noqa: F401  top_event_paths — 3-step journey trigrams via lead() pairs (new r7)
+    from .operators import islands  # noqa: F401  orderkey_islands — rank-difference islands & gaps, no self-join (new r7)
+    from .operators import abtest  # noqa: F401  ab_test_zscores — two-proportion z-test, hash-parity arms (new r7)
+    from .operators import ltv  # noqa: F401  cohort_ltv_curves — cumulative exact-cents cohort LTV (new r7)
+    from .operators import streaks  # noqa: F401  order_status_streaks — two-rank run-length grouping (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
