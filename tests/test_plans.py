@@ -251,3 +251,47 @@ def test_triangles_reuse_cached_graph_frames(spark, sf_dir):
     # memory, not lineitem
     assert "Scan parquet" not in plan.split("InMemoryRelation")[0], plan
     spark.catalog.clearCache()
+
+
+def test_no_aggregate_rides_unbounded_following_frames():
+    """Source-level guard for the frame-class rule (SCALING.md round-7
+    fifth batch): Spark recomputes any aggregate on an x -> UNBOUNDED
+    FOLLOWING frame from scratch per row (O(n^2) in the partition —
+    pareto's first spelling measured 254.5 s at sf0.1 vs 0.90 s for the
+    reversed-sort cumulative twin). A suffix aggregate is always
+    expressible as a prefix aggregate under the reversed ORDER BY, so
+    no operator may use the suffix spelling in SPARK-side code (oracle
+    SQL strings run in DuckDB, whose window executor has no such
+    asymmetry — and lead()/lag() don't hit the aggregate frame
+    machinery). Comments and docstrings stating the rule are exempt via
+    tokenization."""
+    import io
+    import pathlib
+    import tokenize
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / (
+        "cdc_stream_batch_etl_spark"
+    )
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        code_tokens = []
+        with open(py, "rb") as f:
+            for tok in tokenize.tokenize(f.readline):
+                if tok.type == tokenize.NAME:
+                    code_tokens.append((tok.string, tok.start[0]))
+                elif tok.type == tokenize.STRING:
+                    # F-strings/SQL built in code still matter when they
+                    # feed F.expr — but oracle strings (DuckDB side) are
+                    # fine. Only Spark's API constant is unambiguous:
+                    # window SQL text in F.expr is caught by the name
+                    # check below when spelled via the API; the one
+                    # F.expr window in pareto.py uses the SAFE reversed
+                    # frame, asserted by its own tests.
+                    pass
+        for name, line in code_tokens:
+            if name == "unboundedFollowing":
+                offenders.append(f"{py.name}:{line}: Window.unboundedFollowing")
+    assert not offenders, (
+        "UNBOUNDED FOLLOWING aggregate frames are banned "
+        "(reverse the ORDER BY instead):\n" + "\n".join(offenders)
+    )
