@@ -295,3 +295,22 @@ def test_no_aggregate_rides_unbounded_following_frames():
         "UNBOUNDED FOLLOWING aggregate frames are banned "
         "(reverse the ORDER BY instead):\n" + "\n".join(offenders)
     )
+
+
+def test_kmv_sketch_materializes_once(spark, sf_dir):
+    """kmv_set_overlap's persisted K·|groups| sketch feeds three
+    consumers (per-type estimates, pair side A, pair side B); after
+    materialization every consumer reads the cache, so the raw events
+    scan appears only inside the cached subtree — without the persist
+    the plan re-derives the corpus distinct per consumer (16 lineage
+    scans in the PLANS profile)."""
+    from cdc_stream_batch_etl_spark.operators.kmvoverlap import (
+        kmv_set_overlap,
+    )
+
+    df = kmv_set_overlap(spark, sf_dir)
+    df.count()  # materialize the sketch cache
+    plan = _plan(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "Scan parquet" not in plan.split("InMemoryRelation")[0], plan
+    spark.catalog.clearCache()
