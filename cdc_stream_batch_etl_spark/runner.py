@@ -68,7 +68,11 @@ def health_check(spark: SparkSession, sf_dir: str) -> dict[str, bool]:
 
 def quality_gate(name: str, df: DataFrame) -> list[str]:
     """Row-count + null checks (the DAG's quality gate,
-    cdc_etl_orchestration.py:295-357, minus the broken Redis API calls)."""
+    cdc_etl_orchestration.py:295-357, minus the broken Redis API calls).
+
+    Standalone spelling (extra actions) for ad-hoc use; inside the run
+    loop the same metrics ride the `latest` write via ``observe()`` —
+    see _observed_write — so the gate costs ZERO additional scans there."""
     failures = []
     cnt = df.count()
     if cnt == 0:
@@ -78,6 +82,35 @@ def quality_gate(name: str, df: DataFrame) -> list[str]:
     if nulls:
         failures.append(f"{name}: {nulls} null keys in {key_col}")
     return failures
+
+
+def _observed_write(name: str, df: DataFrame, path: str) -> tuple[int, list[str]]:
+    """Write ``df`` to ``path`` with the quality metrics COLLECTED BY THE
+    WRITE ITSELF (pyspark Observation): row count and null-key count are
+    accumulated task-side while the rows stream to parquet, so the gate
+    adds zero extra actions — at 100 TB the old spelling's count() +
+    null-filter count() were two additional full scans of a
+    corpus-growing output per table per run."""
+    from pyspark.sql import Observation
+
+    key_col = df.columns[0]
+    obs = Observation(f"qg_{name}")
+    df.observe(
+        obs,
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col(key_col).isNull(), 1).otherwise(0)
+        ).alias("null_keys"),
+    ).write.mode("overwrite").parquet(path)
+    m = obs.get
+    cnt = int(m["cnt"] or 0)
+    nulls = int(m["null_keys"] or 0)
+    failures = []
+    if cnt == 0:
+        failures.append(f"{name}: empty result")
+    if nulls:
+        failures.append(f"{name}: {nulls} null keys in {key_col}")
+    return cnt, failures
 
 
 def run_batch_pipeline(
@@ -103,21 +136,23 @@ def run_batch_pipeline(
         # query (the reference writes the same payload to both keys too,
         # batch_processor.py:186-191)
         run_out = spark.read.parquet(f"{out_dir}/{name}/run_ts={run_ts}")
-        run_out.write.mode("overwrite").parquet(f"{out_dir}/{name}/latest")
-        out = spark.read.parquet(f"{out_dir}/{name}/latest")
-        result.row_counts[name] = out.count()
-        result.quality_failures.extend(quality_gate(name, out))
+        cnt, fails = _observed_write(
+            name, run_out, f"{out_dir}/{name}/latest"
+        )
+        result.row_counts[name] = cnt
+        result.quality_failures.extend(fails)
 
     for name, (upstream, fn) in DERIVED_QUERIES.items():
         src = spark.read.parquet(f"{out_dir}/{upstream}/latest")
         df = fn(spark, sf_dir, source_df=src)
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}/run_ts={run_ts}")
-        spark.read.parquet(f"{out_dir}/{name}/run_ts={run_ts}").write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/{name}/latest")
-        out = spark.read.parquet(f"{out_dir}/{name}/latest")
-        result.row_counts[name] = out.count()
-        result.quality_failures.extend(quality_gate(name, out))
+        cnt, fails = _observed_write(
+            name,
+            spark.read.parquet(f"{out_dir}/{name}/run_ts={run_ts}"),
+            f"{out_dir}/{name}/latest",
+        )
+        result.row_counts[name] = cnt
+        result.quality_failures.extend(fails)
 
     result.quality_passed = not result.quality_failures
     result.duration_sec = round(time.perf_counter() - t0, 3)
