@@ -187,3 +187,72 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Small-file compaction — the maintenance pass the layout writers
+    need at 100 TB: streaming micro-batches and per-trigger CDC merges
+    leave thousands of KB-sized parquet files per partition, and every
+    downstream scan then pays one task + one footer read PER FILE
+    (scheduler pressure and NameNode/liststore load dominate long before
+    I/O does). Rewrites the table so each output file targets
+    ``target_bytes`` (the 128 MB default matches
+    spark.sql.files.maxPartitionBytes, so one post-compaction file maps
+    to one scan split).
+
+    File count is data_bytes/target rounded up — computed from the
+    actual on-disk byte size via the Hadoop FS API (no data scan), then
+    one repartition-and-rewrite. With ``partition_cols`` the rewrite
+    preserves hive partitioning and repartitions BY the partition
+    columns so each directory is written by the tasks that own it
+    (without this, every task writes a sliver into every directory —
+    the same small-files problem again, at write time).
+
+    Returns {"files_before", "files_after", "bytes"} for the caller's
+    maintenance log. Overwrite is atomic-per-run in the same sense as
+    the other writers (parquet overwrite); on object stores pair it
+    with a manifest commit.
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (signature parity)
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(jvm_path)
+    total_bytes = summary.getLength()
+    files_before = sum(
+        1
+        for f in spark.read.parquet(path).inputFiles()
+    )
+    n_files = max(1, -(-total_bytes // target_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    if partition_cols:
+        (
+            df.repartition(n_files, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # swap: rewrite the original location from the compacted copy (local
+    # FS rename semantics differ across stores; the copy-then-overwrite
+    # spelling works on all of them)
+    compacted = spark.read.parquet(tmp)
+    if partition_cols:
+        compacted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    else:
+        compacted.write.mode("overwrite").parquet(path)
+    fs.delete(spark._jvm.org.apache.hadoop.fs.Path(tmp), True)
+    files_after = sum(1 for f in spark.read.parquet(path).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+    }
