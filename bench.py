@@ -197,6 +197,9 @@ HEADLINE: list[str] = [
     "ab_test_zscores",
     "cohort_ltv_curves",
     "order_status_streaks",
+    "rfm_scores",
+    "market_concentration_hhi",
+    "weekday_seasonality",
 ]
 
 

@@ -72,22 +72,20 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "shipping_priority",
     "local_supplier_volume",
     "returned_item_report",
-    "promo_revenue_share",
     "min_cost_supplier",
-    "part_supplier_variety",
-    "bulk_order_customers",
     "copurchase_pagerank",
     # (c) change-sensitive core: reference-parity flagships + one
     # representative per pipeline family, re-greened every round
     "customer_segments",
     "order_backlog_timeline",
     # (d) NEW this session — each needs its first driver row; the slots
-    # come from twelve already-green re-greens (pricing_summary,
+    # come from fifteen already-green re-greens (pricing_summary,
     # latest_state, alerts_summary, semantic_dedup, clean_corpus,
     # product_insights, order_analytics, dedup_exact — green r4/r5,
-    # plans unchanged — plus four de-hinted queries that are green r6
-    # with hash-identical post-de-hint output: anomaly_geo_concentration,
-    # bilateral_trade_volume, market_share, sole_blame_suppliers;
+    # plans unchanged — plus seven de-hinted queries green r6 with
+    # hash-identical post-de-hint output: anomaly_geo_concentration,
+    # bilateral_trade_volume, market_share, sole_blame_suppliers,
+    # promo_revenue_share, part_supplier_variety, bulk_order_customers;
     # driver_sim re-verifies all of them locally every commit, and
     # customer_segments + curated_training_set stay in as the parity /
     # end-to-end re-green sentinels)
@@ -103,6 +101,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "ab_test_zscores",
     "cohort_ltv_curves",
     "order_status_streaks",
+    "rfm_scores",
+    "market_concentration_hhi",
+    "weekday_seasonality",
     "time_weighted_value",
     "pps_token_sample",
     "hybrid_rrf_search",
@@ -276,6 +277,9 @@ def load_all() -> None:
     from .operators import abtest  # noqa: F401  ab_test_zscores — two-proportion z-test, hash-parity arms (new r7)
     from .operators import ltv  # noqa: F401  cohort_ltv_curves — cumulative exact-cents cohort LTV (new r7)
     from .operators import streaks  # noqa: F401  order_status_streaks — two-rank run-length grouping (new r7)
+    from .operators import rfm  # noqa: F401  rfm_scores — total-order ntile quintiles, exact cents (new r7)
+    from .operators import hhi  # noqa: F401  market_concentration_hhi — exact sufficient-statistics HHI (new r7)
+    from .operators import seasonality  # noqa: F401  weekday_seasonality — integer-ratio day-of-week indexes (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
