@@ -200,6 +200,9 @@ HEADLINE: list[str] = [
     "rfm_scores",
     "market_concentration_hhi",
     "weekday_seasonality",
+    "spend_gini",
+    "duplicate_order_pairs",
+    "new_vs_returning_revenue",
 ]
 
 

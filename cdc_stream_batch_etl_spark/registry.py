@@ -70,23 +70,22 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "source_mix_plan",
     # (b) plans changed in r7 (forced-broadcast hints removed / caching)
     "shipping_priority",
-    "local_supplier_volume",
-    "returned_item_report",
-    "min_cost_supplier",
     "copurchase_pagerank",
     # (c) change-sensitive core: reference-parity flagships + one
     # representative per pipeline family, re-greened every round
     "customer_segments",
     "order_backlog_timeline",
     # (d) NEW this session — each needs its first driver row; the slots
-    # come from fifteen already-green re-greens (pricing_summary,
+    # come from eighteen already-green re-greens (pricing_summary,
     # latest_state, alerts_summary, semantic_dedup, clean_corpus,
     # product_insights, order_analytics, dedup_exact — green r4/r5,
-    # plans unchanged — plus seven de-hinted queries green r6 with
+    # plans unchanged — plus ten de-hinted queries green r4/r6 with
     # hash-identical post-de-hint output: anomaly_geo_concentration,
     # bilateral_trade_volume, market_share, sole_blame_suppliers,
-    # promo_revenue_share, part_supplier_variety, bulk_order_customers;
-    # driver_sim re-verifies all of them locally every commit, and
+    # promo_revenue_share, part_supplier_variety, bulk_order_customers,
+    # local_supplier_volume, returned_item_report, min_cost_supplier;
+    # driver_sim re-verifies all of them locally every commit;
+    # shipping_priority and copurchase_pagerank keep de-hint slots, and
     # customer_segments + curated_training_set stay in as the parity /
     # end-to-end re-green sentinels)
     "fk_integrity_audit",
@@ -104,6 +103,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "rfm_scores",
     "market_concentration_hhi",
     "weekday_seasonality",
+    "spend_gini",
+    "duplicate_order_pairs",
+    "new_vs_returning_revenue",
     "time_weighted_value",
     "pps_token_sample",
     "hybrid_rrf_search",
@@ -280,6 +282,9 @@ def load_all() -> None:
     from .operators import rfm  # noqa: F401  rfm_scores — total-order ntile quintiles, exact cents (new r7)
     from .operators import hhi  # noqa: F401  market_concentration_hhi — exact sufficient-statistics HHI (new r7)
     from .operators import seasonality  # noqa: F401  weekday_seasonality — integer-ratio day-of-week indexes (new r7)
+    from .operators import gini  # noqa: F401  spend_gini — exact rank-weighted Gini from decimal sufficient stats (new r7)
+    from .operators import duporders  # noqa: F401  duplicate_order_pairs — blocked transaction-dedup screen (new r7)
+    from .operators import newreturning  # noqa: F401  new_vs_returning_revenue — monthly acquisition split (new r7)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

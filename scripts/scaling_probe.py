@@ -68,7 +68,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "pk_uniqueness_audit", "kmv_set_overlap", "top_event_paths",
           "orderkey_islands", "ab_test_zscores", "cohort_ltv_curves",
           "order_status_streaks", "rfm_scores", "market_concentration_hhi",
-          "weekday_seasonality"]
+          "weekday_seasonality", "spend_gini", "duplicate_order_pairs",
+          "new_vs_returning_revenue"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
