@@ -214,43 +214,90 @@ def compact_partitions(
     the same small-files problem again, at write time).
 
     Returns {"files_before", "files_after", "bytes"} for the caller's
-    maintenance log. Overwrite is atomic-per-run in the same sense as
-    the other writers (parquet overwrite); on object stores pair it
-    with a manifest commit.
-    """
-    from pyspark.sql import functions as F  # noqa: F401  (signature parity)
+    maintenance log.
 
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    summary = fs.getContentSummary(jvm_path)
-    total_bytes = summary.getLength()
-    files_before = sum(
-        1
-        for f in spark.read.parquet(path).inputFiles()
-    )
+    Durability: the data is written ONCE (to a sibling tmp dir), then
+    swapped in via FileSystem.rename — atomic on HDFS and local FS, so
+    a crash leaves either the old table or the new one, never neither.
+    The old dir is moved aside first and deleted last, and tmp is
+    cleaned up in a finally. On object stores (S3A) rename is
+    copy+delete, not atomic — pair compaction there with a manifest
+    commit (Iceberg/Delta) instead of relying on directory swap.
+
+    Byte budget with hive partitioning: a repartition on the partition
+    columns alone would put each hive partition in ONE task → one file
+    per directory regardless of size. Instead each partition's current
+    byte size is read from the parquet `_metadata` column (constant per
+    file, so the scan prunes every data column and is footer-priced),
+    the per-partition file count is ceil(bytes/target), and rows are
+    salted `xxhash64(row) % n_files(partition)` so each directory gets
+    ~its own budgeted file count — large partitions split, small ones
+    stay single-file (no sliver re-fragmentation).
+    """
+    from pyspark.sql import functions as F
+
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    dst = Path(path)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(dst).getLength()
+    files_before = len(spark.read.parquet(path).inputFiles())
     n_files = max(1, -(-total_bytes // target_bytes))
 
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
-    if partition_cols:
-        (
-            df.repartition(n_files, *partition_cols)
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(tmp)
-        )
-    else:
-        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    # swap: rewrite the original location from the compacted copy (local
-    # FS rename semantics differ across stores; the copy-then-overwrite
-    # spelling works on all of them)
-    compacted = spark.read.parquet(tmp)
-    if partition_cols:
-        compacted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    else:
-        compacted.write.mode("overwrite").parquet(path)
-    fs.delete(spark._jvm.org.apache.hadoop.fs.Path(tmp), True)
-    files_after = sum(1 for f in spark.read.parquet(path).inputFiles())
+    old = path.rstrip("/") + "__precompact"
+    tmp_p, old_p = Path(tmp), Path(old)
+    for stale in (tmp_p, old_p):  # debris from a previously crashed run
+        if fs.exists(stale):
+            fs.delete(stale, True)
+    try:
+        if partition_cols:
+            # per-hive-partition byte sizes from footer metadata only
+            per_part = (
+                df.select(
+                    *partition_cols,
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.file_size").alias("_fs"),
+                )
+                .groupBy(*partition_cols, "_fp")
+                .agg(F.first("_fs").alias("_fs"))
+                .groupBy(*partition_cols)
+                .agg(F.sum("_fs").alias("_pbytes"))
+                .withColumn(
+                    "_nf",
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("_pbytes") / F.lit(target_bytes))
+                    ).cast("int"),
+                )
+                .drop("_pbytes")
+            )
+            salted = (
+                df.join(F.broadcast(per_part), list(partition_cols), "left")
+                .withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64(*df.columns), F.coalesce("_nf", F.lit(1))),
+                )
+                .drop("_nf")
+            )
+            (
+                salted.repartition(*partition_cols, "_salt")
+                .drop("_salt")
+                .write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(tmp)
+            )
+        else:
+            df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+        if not fs.rename(dst, old_p):
+            raise IOError(f"compact_partitions: could not move {path} aside")
+        if not fs.rename(tmp_p, dst):
+            fs.rename(old_p, dst)  # roll back to the original table
+            raise IOError(f"compact_partitions: could not install {tmp} at {path}")
+        fs.delete(old_p, True)
+    finally:
+        if fs.exists(tmp_p):
+            fs.delete(tmp_p, True)
+    files_after = len(spark.read.parquet(path).inputFiles())
     return {
         "files_before": files_before,
         "files_after": files_after,

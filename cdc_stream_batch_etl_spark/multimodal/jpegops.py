@@ -144,8 +144,11 @@ _AC_CHROMA_VALS = [
 #: JPEG zigzag scan order: _ZIGZAG[k] = row-major index of the k-th
 #: zigzag coefficient.
 def _zigzag_order() -> np.ndarray:
+    # ITU T.81 Annex K: even diagonals (r+c) run bottom-left -> top-right
+    # (r descending), odd diagonals top-right -> bottom-left (r ascending),
+    # yielding the canonical sequence 0, 1, 8, 16, 9, 2, ...
     order = sorted(
-        ((r + c, c if (r + c) % 2 else r, r * 8 + c) for r in range(8) for c in range(8))
+        ((r + c, r if (r + c) % 2 else -r, r * 8 + c) for r in range(8) for c in range(8))
     )
     return np.array([idx for _, _, idx in order], dtype=np.int64)
 

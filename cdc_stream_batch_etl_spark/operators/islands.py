@@ -18,13 +18,19 @@ grain keeps the operator composable.
 Determinism: pure integer arithmetic on distinct keys.
 
 Scale: distinct() is the corpus-sized step (hash agg, map-side
-partial); the row_number ordering is ONE range-partitioned sort of the
-distinct keys. lead() for the gap rides the same sort. Output is
-|islands| rows — the data's fragmentation, not its size. The
-single-partition WindowExec note from rolling.py applies: a global
-row_number over NDV(orderkey) keys is the honest cost of a global
-islands report; at 100 TB shard it by a key prefix and stitch the
-boundary islands (the per-shard spelling is identical).
+partial). The rank-difference window is SHARDED, not global: keys
+hash-shuffle by ``key div SHARD`` (contiguous ranges stay together by
+construction), the per-shard windows run in parallel, and only the
+|islands| + #touched-shards per-shard islands reach the stitch step —
+a cumulative-flag merge (new island iff start > lag(end)+1, O(n)
+UNBOUNDED PRECEDING frame) that reconnects runs split at shard
+boundaries. The stitch's single-partition window sees output-sized
+data (fragmentation count, not corpus count), which is the honest
+floor for a totally-ordered report. Exactness — sharded == global —
+is pinned by tests/test_islands.py on planted runs spanning multiple
+shard boundaries. SHARD=65536 exercises ~9 shards at sf0.01 already;
+at 100 TB raise it so #shards stays ~1e5 (the stitch input adds at
+most one split island per shard boundary).
 """
 
 from __future__ import annotations
@@ -34,6 +40,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+
+SHARD = 65536
 
 _ISLANDS_ORACLE = """
 WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
@@ -61,17 +69,50 @@ def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key")
     ).distinct()
-    r = o.withColumn(
-        "grp", F.col("key") - F.row_number().over(Window.orderBy("key"))
+    return islands(o)
+
+
+def islands(keys: DataFrame, shard: int = SHARD) -> DataFrame:
+    """Sharded islands-and-gaps over a distinct ``key`` column — split
+    out so tests can plant runs that straddle shard boundaries and
+    compare against the global spelling."""
+    # per-shard rank-difference: runs inside a shard group correctly;
+    # a run crossing a boundary splits into per-shard pieces that the
+    # stitch below re-joins
+    w_shard = Window.partitionBy("_shard").orderBy("key")
+    per_shard = (
+        keys.withColumn("_shard", (F.col("key") / shard).cast("bigint"))
+        .withColumn("grp", F.col("key") - F.row_number().over(w_shard))
+        .groupBy("_shard", "grp")
+        .agg(
+            F.min("key").alias("island_start"),
+            F.max("key").alias("island_end"),
+            F.count("*").cast("bigint").alias("island_len"),
+        )
     )
-    isl = r.groupBy("grp").agg(
-        F.min("key").alias("island_start"),
-        F.max("key").alias("island_end"),
-        F.count("*").cast("bigint").alias("island_len"),
+    # stitch: adjacent per-shard islands that touch (start == prev end
+    # + 1) are one island — cumulative-count-of-breaks as the group id
+    w = Window.orderBy("island_start")
+    run = Window.orderBy("island_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    brk = F.when(
+        F.lag("island_end").over(w).isNull()
+        | (F.col("island_start") > F.lag("island_end").over(w) + 1),
+        1,
+    ).otherwise(0)
+    stitched = (
+        per_shard.withColumn("_gid", F.sum(brk).over(run))
+        .groupBy("_gid")
+        .agg(
+            F.min("island_start").alias("island_start"),
+            F.max("island_end").alias("island_end"),
+            F.sum("island_len").alias("island_len"),
+        )
     )
     nxt = F.lead("island_start").over(Window.orderBy("island_start"))
     return (
-        isl.select(
+        stitched.select(
             "island_start",
             "island_end",
             "island_len",

@@ -66,7 +66,8 @@ est_t AS (
 ),
 pairs AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
-         a.est AS est_a, b.est AS est_b
+         a.est AS est_a, b.est AS est_b,
+         a.ndv AS ndv_a, b.ndv AS ndv_b
   FROM est_t a JOIN est_t b ON a.event_type < b.event_type
 ),
 mh AS (
@@ -88,12 +89,15 @@ uni AS (
 SELECT p.type_a, p.type_b,
        round(p.est_a, 6) AS est_a_r,
        round(p.est_b, 6) AS est_b_r,
-       round(CASE WHEN u.m < {K} THEN CAST(u.m AS DOUBLE)
+       round(CASE WHEN greatest(p.ndv_a, p.ndv_b) <= {K}
+                  THEN CAST(u.m AS DOUBLE)
                   ELSE ({K} - 1) * {TWO60!r} / u.tau END, 6) AS est_union_r,
        round(greatest(p.est_a + p.est_b
-               - CASE WHEN u.m < {K} THEN CAST(u.m AS DOUBLE)
+               - CASE WHEN greatest(p.ndv_a, p.ndv_b) <= {K}
+                      THEN CAST(u.m AS DOUBLE)
                       ELSE ({K} - 1) * {TWO60!r} / u.tau END, 0.0e0)
-             / CASE WHEN u.m < {K} THEN CAST(u.m AS DOUBLE)
+             / CASE WHEN greatest(p.ndv_a, p.ndv_b) <= {K}
+                    THEN CAST(u.m AS DOUBLE)
                     ELSE ({K} - 1) * {TWO60!r} / u.tau END, 6)
          AS jaccard_r
 FROM pairs p JOIN uni u ON u.type_a = p.type_a AND u.type_b = p.type_b
@@ -101,8 +105,16 @@ ORDER BY p.type_a, p.type_b
 """
 
 
-def _est(cnt: F.Column, tau: F.Column) -> F.Column:
-    return F.when(cnt < K, cnt.cast("double")).otherwise(
+def _est_union(m: F.Column, tau: F.Column, max_side_ndv: F.Column) -> F.Column:
+    """Merged-union estimate. The union count is EXACT iff both side
+    sketches are unsaturated (side NDV ≤ K): then each sketch is its
+    side's complete hash set, so the merged sketch is the complete
+    union and m is the true union NDV — including the m == K boundary
+    (a union of exactly K distinct hashes). m alone can't distinguish
+    that boundary from a saturated union (both give m == K), so the
+    branch keys on the sides' exact NDVs, which the sketch build
+    already computes. Consistent with the per-type ndv <= K rule."""
+    return F.when(max_side_ndv <= K, m.cast("double")).otherwise(
         F.lit((K - 1) * TWO60) / tau
     )
 
@@ -147,6 +159,7 @@ def overlap_from_events(ev: DataFrame) -> DataFrame:
         .agg(F.max("h").alias("tau"), F.min("ndv").alias("ndv"))
         .select(
             "event_type",
+            "ndv",
             F.when(F.col("ndv") <= K, F.col("ndv").cast("double"))
             .otherwise(F.lit((K - 1) * TWO60) / F.col("tau"))
             .alias("est"),
@@ -160,6 +173,8 @@ def overlap_from_events(ev: DataFrame) -> DataFrame:
         F.col("b.event_type").alias("type_b"),
         F.col("a.est").alias("est_a"),
         F.col("b.est").alias("est_b"),
+        F.col("a.ndv").alias("ndv_a"),
+        F.col("b.ndv").alias("ndv_b"),
     )
     # per-pair union sketch: each pair pulls both sides' sketch rows,
     # dedups shared hashes, re-takes the K smallest
@@ -181,7 +196,9 @@ def overlap_from_events(ev: DataFrame) -> DataFrame:
     uni = merged.groupBy("type_a", "type_b").agg(
         F.count("*").cast("bigint").alias("m"), F.max("h").alias("tau")
     )
-    est_u = _est(F.col("m"), F.col("tau"))
+    est_u = _est_union(
+        F.col("m"), F.col("tau"), F.greatest("ndv_a", "ndv_b")
+    )
     return (
         pairs.join(uni, ["type_a", "type_b"])
         .select(

@@ -36,14 +36,17 @@ Determinism: the frame bounds ride exact integer cents (decimal(18,2)
 × 100 → BIGINT); RANGE frames are value-based, so rows tied on price
 see identical frames in Spark and DuckDB — hash-exact cross-engine.
 
-Scale: ONE range-partitioned global sort on cents (the window), then a
-scan-local filter; output is the frontier (tiny — staircase of the
-max-date envelope). For 100 TB, pre-prune per partition first: the
-skyline of a union is the skyline of the per-partition skylines, so a
-partition-local frontier pass (same two windows inside
-repartition+sortWithinPartitions) shrinks the global sort's input by
-orders of magnitude before the exact pass; the global spelling below
-is already the correct final step of that plan.
+Scale: the exact global pass is ONE single-partition window (the
+honest cost of a total order), so the 100 TB plan prunes FIRST: the
+skyline of a union is the skyline of the per-partition skylines, so
+applying the identical two-window filter per physical partition
+(PARTITION BY spark_partition_id — one balanced hash exchange, then
+32/1000-way parallel O(n) windows) keeps a SUPERSET of the global
+frontier that is roughly |frontier|·#partitions rows, and only that
+superset enters the global window. Every globally non-dominated point
+is non-dominated within its own partition, so the pre-prune is exact —
+asserted by tests/test_pareto.py::test_local_preprune_is_exact, and
+the registered query runs WITH the prune (same oracle, same result).
 """
 
 from __future__ import annotations
@@ -87,30 +90,48 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
         "o_orderdate",
     )
-    return skyline(o)
+    return skyline(o, pre_prune=True)
 
 
-def skyline(o: DataFrame) -> DataFrame:
-    """Core 2-D skyline over (o_orderkey, price_cents, o_orderdate) —
-    split out so tests can plant dominated/tied points (real data's
-    frontier shape is not hand-checkable)."""
-    # SQL-text windows so the frame spelling is literally the oracle's
-    # (and unambiguous under the DESC ordering)
+def _frontier_filter(df: DataFrame, partition_by: str = "") -> DataFrame:
+    """The two-window skyline filter; with ``partition_by`` it runs
+    per-group (the partition-local prune), without it globally (the
+    exact pass). SQL-text windows so the frame spelling is literally
+    the oracle's (and unambiguous under the DESC ordering)."""
+    part = f"PARTITION BY {partition_by} " if partition_by else ""
     m_hi = F.expr(
-        "max(o_orderdate) OVER (ORDER BY price_cents DESC "
+        f"max(o_orderdate) OVER ({part}ORDER BY price_cents DESC "
         "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
     m_eq = F.expr(
-        "max(o_orderdate) OVER (ORDER BY price_cents "
+        f"max(o_orderdate) OVER ({part}ORDER BY price_cents "
         "RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
     )
     return (
-        o.withColumn("m_hi", m_hi)
+        df.withColumn("m_hi", m_hi)
         .withColumn("m_eq", m_eq)
         .filter(
             (F.col("m_hi").isNull() | (F.col("m_hi") < F.col("o_orderdate")))
             & (F.col("m_eq") <= F.col("o_orderdate"))
         )
         .select("o_orderkey", "price_cents", "o_orderdate")
-        .orderBy(F.desc("price_cents"), "o_orderkey")
     )
+
+
+def skyline(o: DataFrame, pre_prune: bool = False) -> DataFrame:
+    """Core 2-D skyline over (o_orderkey, price_cents, o_orderdate) —
+    split out so tests can plant dominated/tied points (real data's
+    frontier shape is not hand-checkable).
+
+    pre_prune=True first drops every point dominated WITHIN its own
+    physical partition (same rule, PARTITION BY spark_partition_id),
+    so the exact single-partition pass only sorts the per-partition
+    frontiers' union. Exact: local domination implies global
+    domination never removes a global-frontier point."""
+    if pre_prune:
+        o = (
+            _frontier_filter(
+                o.withColumn("_pid", F.spark_partition_id()), "_pid"
+            )
+        )
+    return _frontier_filter(o).orderBy(F.desc("price_cents"), "o_orderkey")

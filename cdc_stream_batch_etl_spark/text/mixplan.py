@@ -42,7 +42,7 @@ WITH supply AS (
   SELECT sum(target_w) AS total_w, sum(tokens) AS total_tokens FROM supply
 )
 SELECT s.source,
-       s.tokens,
+       CAST(s.tokens AS BIGINT) AS tokens,
        CAST(s.target_w AS DOUBLE) / t.total_w AS target_share,
        least(1.0, (CAST(s.target_w AS DOUBLE) / t.total_w * t.total_tokens)
                     / s.tokens) AS keep_rate,

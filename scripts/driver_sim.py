@@ -76,6 +76,13 @@ def main() -> int:
                     bv = pd.to_datetime(b[c]).astype("datetime64[us]")
                     ok = ok and bool(((av.isna() & bv.isna()) | (av == bv)).all())
                 elif a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+                    # the real driver's value-hash is TYPE-sensitive: an
+                    # int64 Spark column vs a float64 oracle column (the
+                    # DuckDB sum(BIGINT)→HUGEINT→float64 trap) hash-
+                    # mismatches even when every value is equal. Mirror
+                    # that here: int-kind vs float-kind is a MISMATCH.
+                    if (a[c].dtype.kind in "iu") != (b[c].dtype.kind in "iu"):
+                        ok = False
                     ok = ok and np.allclose(
                         a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True
                     )

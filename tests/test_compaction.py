@@ -51,3 +51,48 @@ def test_compaction_preserves_hive_partitions(spark, tmp_path):
     assert {(r.id, r.p) for r in after.collect()} == {
         (i, i % 3) for i in range(30)
     }
+
+
+def test_partitioned_compaction_honors_byte_budget(spark, tmp_path):
+    """A hive partition bigger than target_bytes must split into
+    multiple files while a tiny sibling stays single-file — the
+    repartition-on-partition-cols-alone failure mode gave one file per
+    directory regardless of size."""
+    path = str(tmp_path / "skewed")
+    big = spark.range(60_000).select(
+        F.lit(0).alias("p"),
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    small = spark.range(5).select(
+        F.lit(1).alias("p"),
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    big.unionByName(small).repartition(20).write.partitionBy("p").parquet(path)
+
+    compact_partitions(spark, path, target_bytes=256 * 1024, partition_cols=("p",))
+    after = spark.read.parquet(path)
+    files_p0 = {f for f in after.inputFiles() if "p=0" in f}
+    files_p1 = {f for f in after.inputFiles() if "p=1" in f}
+    assert len(files_p0) > 1, "oversized partition must split"
+    assert len(files_p1) == 1, "tiny partition must not re-fragment"
+    assert after.count() == 60_005
+
+
+def test_compaction_cleans_stale_debris_and_swaps_atomically(spark, tmp_path):
+    """Debris dirs from a crashed prior run must not poison the next
+    one, and the swap must leave neither tmp nor the moved-aside
+    original behind on success."""
+    import os
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    os.makedirs(path + "__compacting", exist_ok=True)
+    os.makedirs(path + "__precompact", exist_ok=True)
+
+    stats = compact_partitions(spark, path)
+    assert stats["files_after"] == 1
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")
+    assert spark.read.parquet(path).count() == 100

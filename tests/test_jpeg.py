@@ -131,3 +131,24 @@ def test_single_block_and_tiny_images():
     out = jpeg_decode(jpeg_encode(dot, 90))
     assert out.shape == (1, 1, 3)
     assert int(np.abs(out.astype(int) - dot.astype(int)).max()) <= 12
+
+
+def test_zigzag_matches_annex_k_sequence():
+    """Pin _ZIGZAG to the canonical ITU T.81 Annex K scan order. The
+    encoder and decoder share the table, so a transposed table still
+    round-trips internally — only this literal pin catches it (a
+    transposed scan makes every external decoder render blocks
+    transposed, and writes a non-spec DQT ordering)."""
+    from cdc_stream_batch_etl_spark.multimodal.jpegops import _ZIGZAG
+
+    annex_k = [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert list(_ZIGZAG) == annex_k

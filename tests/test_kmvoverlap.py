@@ -73,3 +73,32 @@ def test_saturated_estimator_on_planted_overlap(spark):
     # positive overlap must be detected; exact-1.0 would mean the merge
     # degenerated to a single sketch
     assert 0.0 < r.jaccard_r < 0.9
+
+
+def test_union_exactly_k_is_exact_not_estimated(spark):
+    # The m == K boundary: A = users 0..44, B = 19..63 → |A∪B| = 64 = K
+    # exactly, both sides unsaturated (45 < K each). The union sketch
+    # then holds the COMPLETE union, so the estimate must be the exact
+    # 64.0 — not the (K-1)·2^60/τ saturated formula (which m < K alone
+    # would pick, since m == K there too).
+    from pyspark.sql import functions as F
+
+    from cdc_stream_batch_etl_spark.operators.kmvoverlap import (
+        K,
+        overlap_from_events,
+    )
+
+    ev = (
+        spark.range(45)
+        .select(F.lit("a").alias("event_type"), F.col("id").alias("user_id"))
+        .unionByName(
+            spark.range(K - 45, K).select(
+                F.lit("b").alias("event_type"), F.col("id").alias("user_id")
+            )
+        )
+    )
+    r = overlap_from_events(ev).collect()[0]
+    assert r.est_a_r == 45.0 and r.est_b_r == 45.0
+    assert r.est_union_r == float(K)
+    # inclusion-exclusion on exact counts: |A∩B| = 45+45−64 = 26
+    assert r.jaccard_r == round(26 / K, 6)

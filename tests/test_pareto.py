@@ -45,3 +45,29 @@ def test_frontier_is_staircase(spark, sf_dir):
     for a, b in zip(out, out[1:]):
         assert a.price_cents >= b.price_cents
         assert b.o_orderdate >= a.o_orderdate
+
+
+def test_local_preprune_is_exact(spark):
+    """pre_prune=True must return the identical frontier: the planted
+    set is repartitioned to scatter dominators away from their victims
+    (the case where a too-aggressive local rule would miss a global
+    domination — which is fine — or drop a frontier point — which is
+    the bug this pins)."""
+    import random
+
+    rnd = random.Random(8)
+    rows = [(k, rnd.randrange(100, 2000), 1 + rnd.randrange(28)) for k in range(500)]
+    # both-dim tie mid-staircase (NOT a global dominator — a (2000, 28)
+    # plant would dominate every random point and shrink the frontier
+    # to the tie alone)
+    rows += [(1000, 2500, 5), (1001, 2500, 5)]
+    pts = _pts(spark, rows).repartition(16)
+    plain = sorted(
+        (r.o_orderkey, r.price_cents, r.o_orderdate)
+        for r in skyline(pts, pre_prune=False).collect()
+    )
+    pruned = sorted(
+        (r.o_orderkey, r.price_cents, r.o_orderdate)
+        for r in skyline(pts, pre_prune=True).collect()
+    )
+    assert plain == pruned and len(plain) >= 3
