@@ -203,6 +203,10 @@ HEADLINE: list[str] = [
     "spend_gini",
     "duplicate_order_pairs",
     "new_vs_returning_revenue",
+    # round 8
+    "window_funnel_levels",
+    "heavy_hitters_cms",
+    "bpe_merge_candidates",
 ]
 
 

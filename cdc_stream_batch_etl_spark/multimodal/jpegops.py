@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -262,31 +263,153 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (H, W, 3) uint8 array as a baseline 4:4:4 JFIF JPEG."""
-    h, w, _ = pixels.shape
-    qt_l, qt_c = _quality_tables(quality)
-    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    ycc = _rgb_to_ycbcr(pixels)
-    # edge-replication pad to block boundaries
-    padded = np.pad(ycc, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+def _msize(v: np.ndarray) -> np.ndarray:
+    """Vectorized magnitude category: bit_length(|v|). ceil(log2(a+1))
+    is exact here — at a = 2^k the argument 2^k+1 rounds to a float
+    strictly above 2^k, and at a = 2^k−1 the argument is the exactly
+    representable 2^k — for the |v| < 2^31 range of quantized DCT
+    coefficients."""
+    return np.ceil(np.log2(np.abs(v).astype(np.float64) + 1.0)).astype(np.int64)
 
-    comp_coeffs = []
-    for ci in range(3):
-        plane = padded[..., ci] - 128.0
-        blocks = _to_blocks(plane)
-        coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-        qt = qt_l if ci == 0 else qt_c
-        quant = np.round(coeffs / qt).astype(np.int32)
-        comp_coeffs.append(quant.reshape(-1, 64)[:, _ZIGZAG])
 
+def _enc_arrays(table: dict[int, tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """{symbol: (code, length)} → dense (code[256], length[256]) arrays
+    for vectorized lookup (unused symbol slots stay 0)."""
+    code = np.zeros(256, dtype=np.int64)
+    length = np.zeros(256, dtype=np.int64)
+    for sym, (c, ln) in table.items():
+        code[sym], length[sym] = c, ln
+    return code, length
+
+
+_DC_ARR = tuple(_enc_arrays(t) for t in _ENC_DC)
+_AC_ARR = tuple(_enc_arrays(t) for t in _ENC_AC)
+
+
+def _entropy_encode(comp_zz: list[np.ndarray]) -> bytes:
+    """Vectorized baseline-JPEG entropy coder: builds (value, nbits)
+    token arrays per component with numpy (DC diffs, AC run-lengths,
+    ZRL expansion, EOB flags), orders them into the interleaved MCU
+    stream with ONE lexsort, then packs all tokens by OR-ing each
+    token's ≤4 affected bytes into the output (np.bitwise_or.at) —
+    no per-coefficient Python. Byte-identical to the per-symbol
+    reference writer (_entropy_encode_ref, pinned by
+    tests/test_jpeg.py::test_vectorized_entropy_matches_reference)."""
+    vals_l: list[np.ndarray] = []
+    lens_l: list[np.ndarray] = []
+    blk_l: list[np.ndarray] = []
+    cmp_l: list[np.ndarray] = []
+    seq_l: list[np.ndarray] = []
+
+    def emit(vals, lens, blk, cmp_i, seq):
+        vals_l.append(np.asarray(vals, dtype=np.int64))
+        lens_l.append(np.asarray(lens, dtype=np.int64))
+        blk_l.append(np.asarray(blk, dtype=np.int64))
+        cmp_l.append(np.full(len(vals_l[-1]), cmp_i, dtype=np.int64))
+        seq_l.append(np.asarray(seq, dtype=np.int64))
+
+    for ci, zz in enumerate(comp_zz):
+        tid = 0 if ci == 0 else 1
+        dc_code, dc_len = _DC_ARR[tid]
+        ac_code, ac_len = _AC_ARR[tid]
+        n = zz.shape[0]
+        blocks = np.arange(n, dtype=np.int64)
+
+        # DC: differential against the previous block of the SAME comp
+        v0 = zz[:, 0].astype(np.int64)
+        diff = v0.copy()
+        diff[1:] -= v0[:-1]
+        size = _msize(diff)
+        bits = np.where(diff >= 0, diff, diff + np.left_shift(1, size) - 1)
+        emit(dc_code[size], dc_len[size], blocks, ci, np.zeros(n, np.int64))
+        emit(bits, size, blocks, ci, np.ones(n, np.int64))
+
+        # AC: per-nonzero run lengths within each block's 63-coeff tail.
+        # Token sequence key: 2 + pos*8 + {0..3: ZRLs, 4: symbol,
+        # 5: magnitude bits}; EOB sorts after every position (2+63*8).
+        ac = zz[:, 1:]
+        bidx, pos = np.nonzero(ac)
+        if len(bidx):
+            v = ac[bidx, pos].astype(np.int64)
+            prev = np.empty(len(pos), dtype=np.int64)
+            prev[0] = -1
+            prev[1:] = pos[:-1]
+            prev[np.concatenate(([True], bidx[1:] != bidx[:-1]))] = -1
+            run = pos - prev - 1
+            zrl, rem = run >> 4, run & 15
+            nz_size = _msize(v)
+            nz_bits = np.where(v >= 0, v, v + np.left_shift(1, nz_size) - 1)
+            sym = (rem << 4) | nz_size
+            if zrl.any():
+                zi = np.repeat(np.arange(len(zrl)), zrl)
+                sub = np.arange(len(zi)) - np.repeat(np.cumsum(zrl) - zrl, zrl)
+                emit(
+                    np.full(len(zi), ac_code[0xF0]),
+                    np.full(len(zi), ac_len[0xF0]),
+                    bidx[zi],
+                    ci,
+                    2 + pos[zi] * 8 + sub,
+                )
+            emit(ac_code[sym], ac_len[sym], bidx, ci, 2 + pos * 8 + 4)
+            emit(nz_bits, nz_size, bidx, ci, 2 + pos * 8 + 5)
+        # EOB for blocks whose AC tail ends before coefficient 63
+        last = np.full(n, -1, dtype=np.int64)
+        last[bidx] = pos  # pos ascends within a block: final write = max
+        eob = np.nonzero(last < 62)[0]
+        emit(
+            np.full(len(eob), ac_code[0x00]),
+            np.full(len(eob), ac_len[0x00]),
+            eob,
+            ci,
+            np.full(len(eob), 2 + 63 * 8),
+        )
+
+    vals = np.concatenate(vals_l)
+    lens = np.concatenate(lens_l)
+    order = np.lexsort(
+        (np.concatenate(seq_l), np.concatenate(cmp_l), np.concatenate(blk_l))
+    )
+    vals, lens = vals[order], lens[order]
+
+    offs = np.cumsum(lens) - lens
+    total_bits = int(offs[-1] + lens[-1]) if len(lens) else 0
+    nbytes = (total_bits + 7) // 8
+    out = np.zeros(nbytes + 4, dtype=np.uint8)
+    # each token occupies ≤ 7+16 bits → a 32-bit window at its byte
+    shifted = (vals.astype(np.uint64) << (32 - (offs & 7) - lens).astype(np.uint64))
+    byte_i = offs >> 3
+    idx = np.concatenate([byte_i, byte_i + 1, byte_i + 2, byte_i + 3])
+    bv = np.concatenate(
+        [
+            (shifted >> 24) & 0xFF,
+            (shifted >> 16) & 0xFF,
+            (shifted >> 8) & 0xFF,
+            shifted & 0xFF,
+        ]
+    ).astype(np.uint8)
+    np.bitwise_or.at(out, idx, bv)
+    if total_bits & 7:  # pad the final partial byte with 1-bits per spec
+        out[nbytes - 1] |= (1 << (8 - (total_bits & 7))) - 1
+    core = out[:nbytes]
+    ff = core == 0xFF  # byte stuffing: 0x00 after every data 0xFF
+    if ff.any():
+        res = np.zeros(nbytes + int(ff.sum()), dtype=np.uint8)
+        res[np.arange(nbytes) + (np.cumsum(ff) - ff)] = core
+        core = res
+    return core.tobytes()
+
+
+def _entropy_encode_ref(comp_zz: list[np.ndarray]) -> bytes:
+    """Reference per-symbol entropy writer (the original loop) — kept
+    ONLY as the parity oracle for the vectorized coder; not on any
+    query path."""
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    n_blocks = comp_coeffs[0].shape[0]
+    n_blocks = comp_zz[0].shape[0]
     for b in range(n_blocks):  # interleaved MCU order: Y, Cb, Cr per MCU
         for ci in range(3):
             tid = 0 if ci == 0 else 1
-            zz = comp_coeffs[ci][b]
+            zz = comp_zz[ci][b]
             dc_tab, ac_tab = _ENC_DC[tid], _ENC_AC[tid]
             diff = int(zz[0]) - prev_dc[ci]
             prev_dc[ci] = int(zz[0])
@@ -315,7 +438,28 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
             if last < 63:
                 code, length = ac_tab[0x00]  # EOB
                 bw.write(code, length)
-    ecs = bw.flush()
+    return bw.flush()
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a baseline 4:4:4 JFIF JPEG."""
+    h, w, _ = pixels.shape
+    qt_l, qt_c = _quality_tables(quality)
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ycc = _rgb_to_ycbcr(pixels)
+    # edge-replication pad to block boundaries
+    padded = np.pad(ycc, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+
+    comp_coeffs = []
+    for ci in range(3):
+        plane = padded[..., ci] - 128.0
+        blocks = _to_blocks(plane)
+        coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+        qt = qt_l if ci == 0 else qt_c
+        quant = np.round(coeffs / qt).astype(np.int32)
+        comp_coeffs.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+
+    ecs = _entropy_encode(comp_coeffs)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -350,7 +494,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 
 def _build_dec_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Spec (BITS, VALUES) → {(length, code): symbol}."""
+    """Spec (BITS, VALUES) → {(length, code): symbol}. Kept as the
+    self-inverse pytest oracle; the decode hot path uses _dec_lut."""
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -363,47 +508,40 @@ def _build_dec_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], 
     return table
 
 
-class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
+@lru_cache(maxsize=16)
+def _dec_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """Spec (BITS, VALUES) → 16-bit-peek LUTs (symbol[65536], codelen
+    [65536]): every 16-bit window whose prefix is code C of length L
+    maps to C's symbol, so one array index replaces the bit-by-bit
+    Huffman walk. −1 symbol = no valid code has that prefix. Cached by
+    table content — the Annex K tables recur across every payload."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            sym[lo : lo + (1 << (16 - length))] = vals[k]
+            ln[lo : lo + (1 << (16 - length))] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
 
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy segment exhausted")
-        byte = self.data[self.pos]
-        self.pos += 1
-        if byte == 0xFF:
-            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                raise ValueError("unexpected marker inside entropy segment")
-            self.pos += 1  # drop the stuffed 0x00
-        self.acc = (self.acc << 8) | byte
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy segment")
+def _destuff(data: bytes) -> np.ndarray:
+    """Entropy segment → destuffed byte array (drops the 0x00 after
+    each data 0xFF; rejects any 0xFF not followed by 0x00)."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    ff_pos = np.nonzero(raw == 0xFF)[0]
+    if len(ff_pos):
+        if ff_pos[-1] == len(raw) - 1 or (raw[ff_pos + 1] != 0).any():
+            raise ValueError("unexpected marker inside entropy segment")
+        keep = np.ones(len(raw), dtype=bool)
+        keep[ff_pos + 1] = False
+        raw = raw[keep]
+    return raw
 
 
 def _extend(bits: int, size: int) -> int:
@@ -419,7 +557,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htabs: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     h = w = None
     comp_q: dict[int, int] = {}
     comp_h: dict[int, tuple[int, int]] = {}
@@ -447,10 +585,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 cls, tid = body[off] >> 4, body[off] & 0x0F
-                bits = list(body[off + 1 : off + 17])
+                bits = tuple(body[off + 1 : off + 17])
                 n = sum(bits)
-                vals = list(body[off + 17 : off + 17 + n])
-                htabs[(cls, tid)] = _build_dec_table(bits, vals)
+                vals = tuple(body[off + 17 : off + 17 + n])
+                htabs[(cls, tid)] = _dec_lut(bits, vals)
                 off += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             depth, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -477,36 +615,66 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     end = payload.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG missing EOI")
-    br = _BitReader(payload[ecs_start:end])
+    data = _destuff(payload[ecs_start:end])
+    total_bits = 8 * len(data)
+    # sliding 32-bit big-endian window per byte offset: any ≤16-bit
+    # field starting at bit position bp lives inside u32[bp >> 3]
+    # (bit offset bp & 7 ≤ 7, so 7 + 16 ≤ 32); 4 zero pad bytes keep
+    # the tail indexable — over-reads past the stream are caught by
+    # the final bounds check
+    p = np.concatenate([data, np.zeros(4, dtype=np.uint8)]).astype(np.uint32)
+    u32 = (p[:-3] << 24) | (p[1:-2] << 16) | (p[2:-1] << 8) | p[3:]
 
     h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     n_blocks = (h8 // 8) * (w8 // 8)
     comp_ids = sorted(comp_h)  # 1, 2, 3 in our encoder's numbering
     planes = {cid: np.zeros((n_blocks, 64), dtype=np.int32) for cid in comp_ids}
-    prev_dc = {cid: 0 for cid in comp_ids}
+    luts = [
+        (htabs[(0, comp_h[cid][0])], htabs[(1, comp_h[cid][1])], planes[cid])
+        for cid in comp_ids
+    ]
+    prev_dc = [0] * len(comp_ids)
+    bp = 0
     for b in range(n_blocks):
-        for cid in comp_ids:
-            dc_tid, ac_tid = comp_h[cid]
-            dc_tab, ac_tab = htabs[(0, dc_tid)], htabs[(1, ac_tid)]
-            zz = planes[cid][b]
-            size = br.symbol(dc_tab)
-            diff = _extend(br.bits(size), size) if size else 0
-            prev_dc[cid] += diff
-            zz[0] = prev_dc[cid]
+        for ci, ((dsym, dlen), (asym, alen), plane) in enumerate(luts):
+            zz = plane[b]
+            w32 = int(u32[bp >> 3])
+            pk = (w32 >> (16 - (bp & 7))) & 0xFFFF
+            size = int(dsym[pk])
+            if size < 0:
+                raise ValueError("invalid Huffman code in entropy segment")
+            bp += int(dlen[pk])
+            if size:
+                w32 = int(u32[bp >> 3])
+                mag = (w32 >> (32 - (bp & 7) - size)) & ((1 << size) - 1)
+                bp += size
+                prev_dc[ci] += _extend(mag, size)
+            zz[0] = prev_dc[ci]
             k = 1
             while k < 64:
-                sym = br.symbol(ac_tab)
+                w32 = int(u32[bp >> 3])
+                pk = (w32 >> (16 - (bp & 7))) & 0xFFFF
+                sym = int(asym[pk])
+                if sym < 0:
+                    raise ValueError("invalid Huffman code in entropy segment")
+                bp += int(alen[pk])
                 if sym == 0x00:  # EOB
                     break
                 if sym == 0xF0:  # ZRL
                     k += 16
                     continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
+                k += sym >> 4
+                size = sym & 0x0F
                 if k > 63:
                     raise ValueError("AC run past block end")
-                zz[k] = _extend(br.bits(size), size)
+                if size:
+                    w32 = int(u32[bp >> 3])
+                    mag = (w32 >> (32 - (bp & 7) - size)) & ((1 << size) - 1)
+                    bp += size
+                    zz[k] = _extend(mag, size)
                 k += 1
+    if bp > total_bits:
+        raise ValueError("JPEG entropy segment exhausted")
 
     out = np.zeros((h8, w8, 3), dtype=np.float64)
     for idx, cid in enumerate(comp_ids):

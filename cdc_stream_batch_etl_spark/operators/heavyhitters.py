@@ -1,0 +1,141 @@
+"""CMS-guided exact heavy hitters — the two-scan answer to "which keys
+exceed φN?" when the key space is too large to exact-count whole.
+
+The plain Spark answer (groupBy(key).count().filter(≥ T)) shuffles one
+row per DISTINCT key; at 100 TB with billion-key domains that exchange
+is the cost. The sketch answer here shuffles almost nothing:
+
+  scan 1 — count-min table over l_partkey (depth 4, the repo's
+           deterministic md5 hashes): map-side partial collapses the
+           corpus to D×W counter cells; NO per-key exchange.
+  filter — per DISTINCT key, est = min over depths of its bucket
+           counters; CMS never underestimates, so est ≥ T keeps EVERY
+           true heavy hitter (no false negatives — the one-sided
+           guarantee the design leans on).
+  scan 2 — exact counts for the surviving candidates only (semi-join
+           against the tiny candidate set), drop the false positives.
+
+The output is therefore EXACTLY the SQL truth — "keys with count ≥ T"
+— which is what makes this oracle-able at all: the sketch steers the
+plan, never the answer. The oracle recomputes the CMS estimate column
+the same way (both engines share hash64, so the estimates are
+bit-identical too). A width-starved pytest plants a skewed stream and
+asserts the candidate filter actually prunes (tests/test_heavyhitters.py).
+
+Unlike Misra-Gries/SpaceSaving, the CMS route is ORDER-INDEPENDENT
+(counter cells are sums), so the result is stable across partitionings
+and cluster sizes — MG summaries depend on stream order and can't be
+hash-compared cross-engine.
+
+Determinism: integer counters, integer threshold; no floats.
+
+Scale: scan 1 aggregates to D×W rows (broadcast back); candidates are
+≤ (N/T) keys by Markov — at φ = 0.2 % that's ≤ 500 rows to broadcast
+into scan 2's semi-join. Two corpus scans, zero corpus-sized shuffles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..dedup import hash64_expr, hash64_sql
+from ..registry import register
+
+HH_DEPTH = 4
+HH_WIDTH = 1024
+#: support threshold as a fraction of total rows
+HH_SUPPORT = 0.002
+
+_HH_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n FROM lineitem),
+t AS (SELECT CAST(ceil(n * {HH_SUPPORT}) AS BIGINT) AS t FROM n),
+cells AS (
+  SELECT d.d,
+         {hash64_sql("CAST(d.d AS VARCHAR) || ':' || CAST(l.l_partkey AS VARCHAR)")}
+           % {HH_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS counter
+  FROM lineitem l, (SELECT unnest(range({HH_DEPTH})) AS d) d
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT k.l_partkey,
+         min(c.counter) AS cms_estimate
+  FROM (SELECT DISTINCT l_partkey FROM lineitem) k
+  JOIN cells c
+    ON c.bucket = {hash64_sql("CAST(c.d AS VARCHAR) || ':' || CAST(k.l_partkey AS VARCHAR)")}
+                  % {HH_WIDTH}
+  GROUP BY 1
+),
+exact AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_partkey, e.cnt, s.cms_estimate
+FROM exact e JOIN est s USING (l_partkey) CROSS JOIN t
+WHERE e.cnt >= t.t
+ORDER BY e.cnt DESC, e.l_partkey
+"""
+
+
+@register("heavy_hitters_cms", oracle=_HH_ORACLE)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts appearing in ≥ 0.2 % of lineitems — exact counts, found via
+    a count-min candidate filter (no false negatives) + exact verify."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return cms_heavy_hitters(li, "l_partkey", HH_SUPPORT, HH_WIDTH)
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key: str, support: float = HH_SUPPORT, width: int = HH_WIDTH
+) -> DataFrame:
+    """Core CMS-guided heavy hitters over any single-key frame — width
+    parameterized so tests can starve the sketch and watch the exact
+    verify absorb the extra false positives."""
+    n = df.count()
+    threshold = int(math.ceil(n * support))
+    cells = (
+        df.select(
+            F.col(key),
+            F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("d"),
+        )
+        .select(
+            "d",
+            (
+                F.expr(
+                    hash64_expr(f"concat(cast(d as string), ':', cast({key} as string))")
+                )
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("counter"))
+    )
+    keys = df.select(key).distinct()
+    est = (
+        keys.select(
+            key,
+            F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("d"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(hash64_expr(f"concat(cast(d as string), ':', cast({key} as string))"))
+            % width,
+        )
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy(key)
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    candidates = est.filter(F.col("cms_estimate") >= threshold)
+    exact = (
+        df.join(F.broadcast(candidates.select(key)), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+    return exact.join(F.broadcast(candidates), key).orderBy(
+        F.desc("cnt"), key
+    )

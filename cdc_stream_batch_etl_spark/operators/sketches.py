@@ -154,3 +154,26 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable artifact itself (point estimates read min over depths;
     never an underestimate, tests/test_sketches.py)."""
     return cms_sketch(load_table(spark, sf_dir, "events"), CMS_WIDTH)
+
+
+@register("approx_distinct_native")
+def approx_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: Spark's NATIVE HyperLogLog++ estimate
+    (approx_count_distinct, rsd 5%) next to the exact distinct — the
+    zero-code path a user should reach for before the repo's KMV/CMS
+    when cross-engine determinism is not required. Registered WITHOUT
+    an oracle (registry.ROWS_ONLY): HLL++ register layouts are
+    engine-specific, so no SQL oracle can reproduce the estimate; the
+    relative-error gate lives in tests/test_sketches.py instead.
+
+    Scale: both aggregates are map-side partial (HLL registers and the
+    exact distinct's hash set both merge); one shuffle of |groups| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -32,6 +32,8 @@ ROWS_ONLY: dict[str, str] = {
     "ann_lsh_topk": "approximate LSH; recall floor pytest-gated vs the exact top-k",
     "compression_gate": "DuckDB has no zlib/compress function; ratios pytest-gated "
     "against directly-computed zlib golden values",
+    "approx_distinct_native": "Spark-native HLL++ registers are engine-specific; "
+    "relative error pytest-gated against the exact distinct",
 }
 
 
@@ -44,83 +46,74 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r7 window: (a) the 13 operators that have never had a driver row
-#: (closing the 183-query ledger for the first time), then (b) every
-#: query whose PLAN or SEMANTICS changed this round — the 11 de-hinted
-#: broadcast queries outside (a), plus quality_calibration's tie-stable
-#: rewrite and copurchase_pagerank's cached-graph rewrite sit inside
-#: (a)/(b) already — then (c) the change-sensitive parity core plus the
-#: three operators NEW this round (image_jpeg_roundtrip, bm25_topk,
-#: copurchase_triangles), so nothing registered ends r7 without a
-#: driver row.
+#: r8 window: with the ledger closed (every registered query has a
+#: green driver row as of r7), the window's job becomes (a) first rows
+#: for the queries NEW this round, (b) re-rows for every query whose
+#: oracle or plan CHANGED this round, (c) the two change-sensitive
+#: sentinels, and (d) staleness rotation — the greens whose last driver
+#: row is oldest (the r3 cohort) re-verify, so no query's most recent
+#: driver check falls more than ~5 rounds behind the moving codebase.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — the entire remaining missing_count
-    "lsh_recall_eval",
-    "product_type_profit",
-    "important_stock",
-    "top_supplier",
-    "discounted_revenue",
-    "part_promotion_suppliers",
-    "bloom_pruned_revenue",
-    "event_autocorr",
-    "revenue_trend",
-    "quality_calibration",
-    "robust_anomalies",
-    "phrase_search",
+    # (a) NEW in round 8 — first driver rows
+    "window_funnel_levels",
+    "heavy_hitters_cms",
+    "bpe_merge_candidates",
+    "half_life_popularity",
+    "approx_distinct_native",
+    # (b) changed in round 8: oracle fixes (source_mix_plan type cast,
+    # kmv union-boundary rule) and plan rewrites (pareto pre-prune,
+    # islands shard-and-stitch, jpeg Annex-K zigzag + vectorized codec)
     "source_mix_plan",
-    # (b) plans changed in r7 (forced-broadcast hints removed / caching)
-    "shipping_priority",
-    "copurchase_pagerank",
-    # (c) change-sensitive core: reference-parity flagships + one
-    # representative per pipeline family, re-greened every round
-    "customer_segments",
-    "order_backlog_timeline",
-    # (d) NEW this session — each needs its first driver row; the slots
-    # come from eighteen already-green re-greens (pricing_summary,
-    # latest_state, alerts_summary, semantic_dedup, clean_corpus,
-    # product_insights, order_analytics, dedup_exact — green r4/r5,
-    # plans unchanged — plus ten de-hinted queries green r4/r6 with
-    # hash-identical post-de-hint output: anomaly_geo_concentration,
-    # bilateral_trade_volume, market_share, sole_blame_suppliers,
-    # promo_revenue_share, part_supplier_variety, bulk_order_customers,
-    # local_supplier_volume, returned_item_report, min_cost_supplier;
-    # driver_sim re-verifies all of them locally every commit;
-    # shipping_priority and copurchase_pagerank keep de-hint slots, and
-    # customer_segments + curated_training_set stay in as the parity /
-    # end-to-end re-green sentinels)
-    "fk_integrity_audit",
-    "pareto_frontier_orders",
-    "weighted_median_price",
-    "interpolated_daily_revenue",
-    "chisq_independence",
-    "pk_uniqueness_audit",
     "kmv_set_overlap",
-    "top_event_paths",
+    "pareto_frontier_orders",
     "orderkey_islands",
-    "ab_test_zscores",
-    "cohort_ltv_curves",
-    "order_status_streaks",
-    "rfm_scores",
-    "market_concentration_hhi",
-    "weekday_seasonality",
-    "spend_gini",
-    "duplicate_order_pairs",
-    "new_vs_returning_revenue",
-    "time_weighted_value",
-    "pps_token_sample",
-    "hybrid_rrf_search",
-    "gap_filled_daily_revenue",
-    "rolling_median_value",
-    "incremental_agg_refresh",
-    "trending_products",
-    "benford_digit_audit",
-    "revenue_changepoint",
-    "table_stats",
-    "bm25_topk",
-    "copurchase_triangles",
-    "trailing_window_rate",
-    "curated_training_set",
     "image_jpeg_roundtrip",
+    # (c) change-sensitive sentinels: reference-parity flagship + the
+    # end-to-end curation composition
+    "customer_segments",
+    "curated_training_set",
+    # (d) rotation: the 40 greens whose last driver row is OLDEST
+    # (r3 cohort) — every query's driver row stays ≤ 5 rounds old
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "boilerplate_ratio",
+    "contamination_check",
+    "corpus_bigrams",
+    "corpus_datacard",
+    "dedup_exact",
+    "dedup_prefix",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_length_by_lang",
+    "doc_lm_score",
+    "doc_quality",
+    "doc_repetition",
+    "doc_token_stats",
+    "duplicate_spans",
+    "embed_near_dup_lsh",
+    "embed_near_dup_pairs",
+    "embedding_quantize",
+    "kmeans_refine",
+    "label_centroids",
+    "lang_id",
+    "lang_temperature_sample",
+    "multimodal_binary_meta",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "ngram_contamination",
+    "pack_sequences",
+    "pii_scrub",
+    "pq_codes",
+    "quality_topk_sample",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "source_overlap",
+    "source_quota_sample",
+    "span_dedup_coverage",
+    "stratified_sample",
+    "term_postings",
 )
 
 
@@ -152,14 +145,13 @@ def load_all() -> None:
       r6  — the window became import-order-independent: after every
               module registers, ``load_all`` reorders ``QUERIES`` by the
               explicit ``WINDOW_PRIORITY`` list. 50/50 green.
-      r7 (now) — the 13 never-driver-checked operators lead (closing
-              the 183-query ledger: 170 ever-green + these 13), followed
-              by the 11 queries whose broadcast hints were removed this
-              round (the forced customer/supplier/part broadcasts —
-              VERDICT r6's one at-scale defect — now AQE-chosen; their
-              plans changed, so they need fresh rows), then the parity
-              flagships and one representative per pipeline family as
-              the change-sensitive core.
+      r7  — the 13 never-driver-checked operators led (closing the
+              216-query ledger), then the 11 de-hinted broadcast
+              queries, then the change-sensitive core. 50/50 green.
+      r8 (now) — ledger closed, so the window shifts to maintenance:
+              new queries first, every changed oracle/plan second,
+              sentinels third, then staleness rotation (the r3-cohort
+              greens re-verify).
     """
     # --- NEW in round 6: first driver rows this round (positions 1-8) ---
     from .operators import tpch2  # noqa: F401  promo_revenue_share, min_cost_supplier, customer_reach
@@ -193,6 +185,11 @@ def load_all() -> None:
 
     # --- changed this round: service_health explode rewrite (closes window) ---
     from .operators import monitoring  # noqa: F401  pipeline_health, service_health
+
+    # --- NEW in round 8: first driver rows this round ---
+    from .operators import windowfunnel  # noqa: F401  window_funnel_levels
+    from .operators import heavyhitters  # noqa: F401  heavy_hitters_cms
+    from .operators import decay  # noqa: F401  half_life_popularity
 
     # --- past the ~50-entry window: green in r1-r5, order not significant ---
     from . import operators  # noqa: F401

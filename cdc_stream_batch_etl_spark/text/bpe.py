@@ -43,3 +43,55 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
         (n_bpe.cast("double") / n_ws).alias("bpe_per_ws_token"),
     )
+
+
+#: merge-candidate report size; ties at the cut broken by pair text
+BPE_TOP_PAIRS = 30
+
+_MERGE_ORACLE = f"""
+WITH words AS (
+  SELECT w FROM documents,
+       unnest(string_split_regex(text, '\\s+')) AS t(w)
+  WHERE len(w) >= 2
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM words, unnest(range(1, len(w))) AS r(i)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+@register("bpe_merge_candidates", oracle=_MERGE_ORACLE)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction round: corpus-weighted adjacent
+    character-pair frequencies inside whitespace words, top 30 (the
+    next-merge ranking a tokenizer trainer would take; iterating = re-run
+    on the merged symbol stream).
+
+    Scale: the pair explode is scan-local (O(total chars), whole-stage
+    codegen'd — sequence+transform, no UDF); the aggregate's key space is
+    the pair alphabet (bounded by charset², a few thousand), so map-side
+    partial combine collapses the shuffle to |alphabet²| rows per task
+    regardless of corpus size, and the top-30 is a TakeOrdered on that
+    tiny aggregate. The classic BPE corpus loop is driver-bound; this
+    keeps each round one distributed pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

