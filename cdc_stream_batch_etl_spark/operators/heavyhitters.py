@@ -5,7 +5,7 @@ The plain Spark answer (groupBy(key).count().filter(≥ T)) shuffles one
 row per DISTINCT key; at 100 TB with billion-key domains that exchange
 is the cost. The sketch answer here shuffles almost nothing:
 
-  scan 1 — count-min table over l_partkey (depth 4, the repo's
+  scan 1 — count-min table over the key (depth 4, the repo's
            deterministic md5 hashes): map-side partial collapses the
            corpus to D×W counter cells; NO per-key exchange.
   filter — per DISTINCT key, est = min over depths of its bucket
@@ -51,42 +51,52 @@ HH_WIDTH = 1024
 HH_SUPPORT = 0.002
 
 _HH_ORACLE = f"""
-WITH n AS (SELECT count(*) AS n FROM lineitem),
+WITH tok AS (
+  SELECT w FROM documents, unnest(string_split(text, ' ')) AS t(w)
+),
+n AS (SELECT count(*) AS n FROM tok),
 t AS (SELECT CAST(ceil(n * {HH_SUPPORT}) AS BIGINT) AS t FROM n),
 cells AS (
   SELECT d.d,
-         {hash64_sql("CAST(d.d AS VARCHAR) || ':' || CAST(l.l_partkey AS VARCHAR)")}
+         {hash64_sql("CAST(d.d AS VARCHAR) || ':' || CAST(tok.w AS VARCHAR)")}
            % {HH_WIDTH} AS bucket,
          CAST(count(*) AS BIGINT) AS counter
-  FROM lineitem l, (SELECT unnest(range({HH_DEPTH})) AS d) d
+  FROM tok, (SELECT unnest(range({HH_DEPTH})) AS d) d
   GROUP BY 1, 2
 ),
 est AS (
-  SELECT k.l_partkey,
+  SELECT k.w,
          min(c.counter) AS cms_estimate
-  FROM (SELECT DISTINCT l_partkey FROM lineitem) k
+  FROM (SELECT DISTINCT w FROM tok) k
   JOIN cells c
-    ON c.bucket = {hash64_sql("CAST(c.d AS VARCHAR) || ':' || CAST(k.l_partkey AS VARCHAR)")}
+    ON c.bucket = {hash64_sql("CAST(c.d AS VARCHAR) || ':' || CAST(k.w AS VARCHAR)")}
                   % {HH_WIDTH}
   GROUP BY 1
 ),
 exact AS (
-  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
-  FROM lineitem GROUP BY 1
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1
 )
-SELECT e.l_partkey, e.cnt, s.cms_estimate
-FROM exact e JOIN est s USING (l_partkey) CROSS JOIN t
+SELECT e.w, e.cnt, s.cms_estimate
+FROM exact e JOIN est s USING (w) CROSS JOIN t
 WHERE e.cnt >= t.t
-ORDER BY e.cnt DESC, e.l_partkey
+ORDER BY e.cnt DESC, e.w
 """
 
 
 @register("heavy_hitters_cms", oracle=_HH_ORACLE)
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts appearing in ≥ 0.2 % of lineitems — exact counts, found via
-    a count-min candidate filter (no false negatives) + exact verify."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    return cms_heavy_hitters(li, "l_partkey", HH_SUPPORT, HH_WIDTH)
+    """Corpus tokens appearing in ≥ 0.2 % of all token positions — the
+    vocabulary head (stopword mining), exact counts found via the CMS
+    candidate filter + exact verify. Tokens are the natural
+    heavy-hitter domain here: word frequencies are Zipf (scale-
+    invariant head), where the TPC-H relational keys are uniform by
+    spec, making every fractional threshold degenerate on them."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    )
+    return cms_heavy_hitters(tok, "w", HH_SUPPORT, HH_WIDTH)
 
 
 def cms_heavy_hitters(
@@ -95,8 +105,6 @@ def cms_heavy_hitters(
     """Core CMS-guided heavy hitters over any single-key frame — width
     parameterized so tests can starve the sketch and watch the exact
     verify absorb the extra false positives."""
-    n = df.count()
-    threshold = int(math.ceil(n * support))
     cells = (
         df.select(
             F.col(key),
@@ -113,7 +121,13 @@ def cms_heavy_hitters(
         )
         .groupBy("d", "bucket")
         .agg(F.count("*").cast("bigint").alias("counter"))
+        .persist()  # consumed twice: N readout + the estimate join
     )
+    # N = any single depth's column sum — the sketch already counted the
+    # corpus, so no separate count() scan (caller-must-clear persist
+    # contract as elsewhere)
+    n = cells.filter(F.col("d") == 0).agg(F.sum("counter")).first()[0] or 0
+    threshold = int(math.ceil(n * support))
     keys = df.select(key).distinct()
     est = (
         keys.select(
