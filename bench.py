@@ -207,6 +207,8 @@ HEADLINE: list[str] = [
     "window_funnel_levels",
     "heavy_hitters_cms",
     "bpe_merge_candidates",
+    "half_life_popularity",
+    "revenue_marginals",
 ]
 
 

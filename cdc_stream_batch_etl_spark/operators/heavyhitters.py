@@ -46,9 +46,14 @@ from ..dedup import hash64_expr, hash64_sql
 from ..registry import register
 
 HH_DEPTH = 4
-HH_WIDTH = 1024
 #: support threshold as a fraction of total rows
 HH_SUPPORT = 0.002
+#: width follows the support, NOT the data: expected collision mass per
+#: bucket is N/width, so the filter only prunes when N/width ≪ T =
+#: support·N, i.e. width ≫ 1/support — independent of N AND of key NDV
+#: (the ×64 probe with a perturbed 64× vocabulary is the regression
+#: that found the fixed-1024 width degenerating to pass-everything)
+HH_WIDTH = 8 * int(1 / HH_SUPPORT)
 
 _HH_ORACLE = f"""
 WITH tok AS (
@@ -143,13 +148,15 @@ def cms_heavy_hitters(
         .groupBy(key)
         .agg(F.min("counter").alias("cms_estimate"))
     )
+    # candidate set size is data-dependent (≤ N/T by Markov at healthy
+    # width, but a starved sketch can pass far more) — no forced
+    # broadcast; AQE picks broadcast vs shuffle from the actual size.
+    # cells stays hinted above: D×W is a scale-CONSTANT.
     candidates = est.filter(F.col("cms_estimate") >= threshold)
     exact = (
-        df.join(F.broadcast(candidates.select(key)), key, "left_semi")
+        df.join(candidates.select(key), key, "left_semi")
         .groupBy(key)
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
-    return exact.join(F.broadcast(candidates), key).orderBy(
-        F.desc("cnt"), key
-    )
+    return exact.join(candidates, key).orderBy(F.desc("cnt"), key)

@@ -60,6 +60,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "bpe_merge_candidates",
     "half_life_popularity",
     "approx_distinct_native",
+    "revenue_marginals",
     # (b) changed in round 8: oracle fixes (source_mix_plan type cast,
     # kmv union-boundary rule) and plan rewrites (pareto pre-prune,
     # islands shard-and-stitch, jpeg Annex-K zigzag + vectorized codec)
