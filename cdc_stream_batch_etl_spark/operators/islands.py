@@ -81,7 +81,7 @@ def islands(keys: DataFrame, shard: int = SHARD) -> DataFrame:
     # stitch below re-joins
     w_shard = Window.partitionBy("_shard").orderBy("key")
     per_shard = (
-        keys.withColumn("_shard", (F.col("key") / shard).cast("bigint"))
+        keys.withColumn("_shard", F.floor(F.col("key") / shard).cast("bigint"))
         .withColumn("grp", F.col("key") - F.row_number().over(w_shard))
         .groupBy("_shard", "grp")
         .agg(

@@ -101,3 +101,58 @@ def _brute_level_w(events):
         if before(v, c) and before(c, p) and p[0] - v[0] <= W_US:
             lvl = max(lvl, 3)
     return lvl
+
+
+def test_funnel_stream_restart_resumes_state(spark, tmp_path):
+    """Checkpoint-kill-restart: stop after the first two files, restart
+    on the same checkpoint with the third — chains whose final step
+    arrives AFTER the restart must still complete (state survives), and
+    per-user levels equal the brute force."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    prev = 0
+    for i, cut in enumerate(CUTS):
+        rows = [(u, e, _ts(s), ty) for (u, e, s, ty) in EVENTS[prev:cut]]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        prev = cut
+
+    def run(glob):
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "b0")).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + glob)
+        )
+        q = (
+            funnel_stream(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.withColumn("bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("/b[01]")  # phase 1: user 1's purchase (b2) not yet arrived
+    run("/b*")     # "restart": b2 discovered on the same checkpoint
+
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        if r.user_id not in final or r.bid > final[r.user_id][1]:
+            final[r.user_id] = (r.funnel_level, r.bid)
+    got = {u: lvl for u, (lvl, _) in final.items()}
+
+    per_user = {}
+    for u, e, s, ty in EVENTS:
+        per_user.setdefault(u, []).append((s * US, e, ty))
+    want = {u: _brute_level_w(evs) for u, evs in per_user.items()}
+    assert got == want, (got, want)

@@ -57,3 +57,14 @@ def test_single_shard_degenerates_to_global(spark):
         (1, 3, 3, 5),
         (9, 9, 1, None),
     ]
+
+
+def test_negative_keys_shard_correctly(spark):
+    # floor-sharding: a run straddling zero must not split wrongly at
+    # the sign boundary (truncation would put -1 and 1 in shard 0 but
+    # -101..-100 in the wrong shard)
+    keys = spark.createDataFrame(
+        [(k,) for k in range(-105, 6)], "key bigint"
+    ).repartition(5)
+    got = _rows(islands(keys, shard=100))
+    assert got == [(-105, 5, 111, None)]
