@@ -26,7 +26,7 @@ recall is far higher (bit-agreement p = 1 - θ/π ≈ 0.90 per plane).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -34,6 +34,15 @@ from ..registry import register
 from ..similarity.ann import N_PLANES, _dot, _hyperplanes, _signature
 
 COSINE_THRESHOLD = 0.40
+#: signature-bucket cap (the minhash.MAX_BUCKET / simhash.MAX_SEG_BUCKET
+#: treatment): 8-bit signatures give only 256 buckets, so bucket size
+#: grows ~N/256 and the candidate join is Θ(N²/256) — constant-factor,
+#: not asymptotic, relief (the ×64 probe ran >25 min before this cap).
+#: Buckets larger than the cap are dropped identically in Spark and the
+#: oracle; the probed-variant recall gates live in tests/test_similarity.
+#: At real scale: more planes (16-32 bits) and banded signatures first,
+#: then the cap as the final guard against degenerate clusters.
+MAX_SIG_BUCKET = 256
 
 _COS = (
     "list_dot_product(a.emb, b.emb) / "
@@ -86,12 +95,16 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), sigged AS (
   SELECT vec_id, emb, CAST({_SIG_SQL} AS INTEGER) AS sig FROM e
+), capped AS (
+  SELECT vec_id, emb, sig FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY sig) AS bsz FROM sigged
+  ) WHERE bsz <= {MAX_SIG_BUCKET}
 ), probes AS (
   SELECT vec_id, emb, xor(sig, flip) AS sig
   FROM sigged, (SELECT unnest([0{"".join(f", {1 << b}" for b in range(N_PLANES))}]) AS flip)
 ), cand AS (
   SELECT DISTINCT p.vec_id AS va, s.vec_id AS vb
-  FROM probes p JOIN sigged s ON p.sig = s.sig AND p.vec_id < s.vec_id
+  FROM probes p JOIN capped s ON p.sig = s.sig AND p.vec_id < s.vec_id
 )
 SELECT c.va AS vec_a, c.vb AS vec_b, round({_COS}, 6) AS cos_sim_r
 FROM cand c
@@ -119,9 +132,18 @@ def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("sig"), *[F.expr(f"int(sig ^ {1 << b})") for b in range(N_PLANES)])
         ).alias("sig"),
     )
+    # MAX_SIG_BUCKET cap on the BUILD side only (mirrored in the
+    # oracle): with |probes| = 9N total, candidates are bounded by
+    # 9·cap·N — linear in N — while probes from vectors inside an
+    # over-cap bucket still reach their radius-1 neighbors
+    capped = (
+        base.withColumn("bsz", F.count("*").over(Window.partitionBy("sig")))
+        .filter(F.col("bsz") <= MAX_SIG_BUCKET)
+        .drop("bsz")
+    )
     cand = (
         probes.alias("p")
-        .join(base.alias("s"), "sig")
+        .join(capped.alias("s"), "sig")
         .filter(F.col("p.vec_id") < F.col("s.vec_id"))
         .select(F.col("p.vec_id").alias("va"), F.col("s.vec_id").alias("vb"))
         .distinct()

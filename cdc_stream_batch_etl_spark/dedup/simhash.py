@@ -10,7 +10,7 @@ with xor+bit_count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -20,6 +20,15 @@ from . import hash64_expr, hash64_sql
 N_BITS = 32
 N_SEGMENTS = 4
 HAMMING_MAX = 3
+#: pigeonhole-bucket cap, the minhash.MAX_BUCKET treatment: a (segment,
+#: value) bucket of k docs yields k²/2 candidates, and byte segments
+#: give only 4×256 buckets, so a templated corpus degenerates the
+#: segment join to all-pairs (the ×64 probe measured exponent 1.13 —
+#: 144 s — before the cap; 0.67-class after, matching minhash). Buckets
+#: larger than this are dropped IDENTICALLY in Spark and the oracle;
+#: at real scale widen the fingerprint (64/128-bit, 16-bit segments)
+#: before raising the cap.
+MAX_SEG_BUCKET = 64
 
 _FP_ORACLE = f"""
 WITH tok AS (
@@ -42,6 +51,12 @@ FROM bits GROUP BY 1
 
 @register("simhash_fingerprints", oracle=_FP_ORACLE)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy(doc_id) with 32 conditional-sum aggregate EXPRESSIONS
+    instead of a 32× bit-explode: the explode spelling pushed 32 rows
+    per (doc, token) through the exchange — the ×64 probe priced that
+    at ~2 s per 6 k docs; 32 column aggregates over the un-inflated tf
+    table do the identical arithmetic map-side (the oracle keeps the
+    explode spelling, which is fine at oracle scale)."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -49,20 +64,20 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", F.expr(hash64_expr("token")))
     )
-    bits = (
-        tf.select("doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(N_BITS - 1))).alias("j"))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(F.expr("((h >> j) & 1) = 1"), F.col("cnt")).otherwise(-F.col("cnt"))
-            ).alias("bal")
-        )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("bal") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("simhash")
-    )
+    bals = [
+        F.sum(
+            F.when(F.expr(f"((h >> {j}) & 1) = 1"), F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{j}")
+        for j in range(N_BITS)
+    ]
+    per_doc = tf.groupBy("doc_id").agg(*bals)
+    sh = None
+    for j in range(N_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return per_doc.select("doc_id", sh.cast("bigint").alias("simhash"))
 
 
 def _seg_sql(h: str, s: int) -> str:
@@ -71,8 +86,12 @@ def _seg_sql(h: str, s: int) -> str:
 
 _PAIRS_ORACLE = f"""
 WITH fp AS ({_FP_ORACLE}),
-segs AS (
+segs_all AS (
   {" UNION ALL ".join(f"SELECT doc_id, simhash, {s} AS seg, {_seg_sql('simhash', s)} AS seg_val FROM fp" for s in range(N_SEGMENTS))}
+), segs AS (
+  SELECT doc_id, simhash, seg, seg_val FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY seg, seg_val) AS bsz FROM segs_all
+  ) WHERE bsz <= {MAX_SEG_BUCKET}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sh_a, b.simhash AS sh_b
@@ -102,6 +121,15 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(*[F.expr(_seg_sql("simhash", s)) for s in range(N_SEGMENTS)])
         ).alias("seg", "seg_val"),
+    )
+    # MAX_SEG_BUCKET cap (mirrored in the oracle): drop degenerate
+    # buckets before the self-join so candidate generation stays
+    # k²-bounded per bucket, not corpus-quadratic
+    bsz = Window.partitionBy("seg", "seg_val")
+    segs = (
+        segs.withColumn("bsz", F.count("*").over(bsz))
+        .filter(F.col("bsz") <= MAX_SEG_BUCKET)
+        .drop("bsz")
     )
     cand = (
         segs.alias("a")
