@@ -80,24 +80,26 @@ merged AS (
   FROM mh
 ),
 uni AS (
+  -- m_full counts the merged sketch BEFORE the rn<=K truncation; tau
+  -- is still the K-th smallest (the truncated sketch's max)
   SELECT type_a, type_b,
-         CAST(count(*) AS BIGINT) AS m, max(h) AS tau
+         CAST(count(*) AS BIGINT) AS m_full,
+         max(CASE WHEN rn <= {K} THEN h END) AS tau
   FROM merged
-  WHERE rn <= {K}
   GROUP BY 1, 2
 )
 SELECT p.type_a, p.type_b,
        round(p.est_a, 6) AS est_a_r,
        round(p.est_b, 6) AS est_b_r,
        round(CASE WHEN greatest(p.ndv_a, p.ndv_b) <= {K}
-                  THEN CAST(u.m AS DOUBLE)
+                  THEN CAST(u.m_full AS DOUBLE)
                   ELSE ({K} - 1) * {TWO60!r} / u.tau END, 6) AS est_union_r,
        round(greatest(p.est_a + p.est_b
                - CASE WHEN greatest(p.ndv_a, p.ndv_b) <= {K}
-                      THEN CAST(u.m AS DOUBLE)
+                      THEN CAST(u.m_full AS DOUBLE)
                       ELSE ({K} - 1) * {TWO60!r} / u.tau END, 0.0e0)
              / CASE WHEN greatest(p.ndv_a, p.ndv_b) <= {K}
-                    THEN CAST(u.m AS DOUBLE)
+                    THEN CAST(u.m_full AS DOUBLE)
                     ELSE ({K} - 1) * {TWO60!r} / u.tau END, 6)
          AS jaccard_r
 FROM pairs p JOIN uni u ON u.type_a = p.type_a AND u.type_b = p.type_b
@@ -105,16 +107,19 @@ ORDER BY p.type_a, p.type_b
 """
 
 
-def _est_union(m: F.Column, tau: F.Column, max_side_ndv: F.Column) -> F.Column:
+def _est_union(
+    m_full: F.Column, tau: F.Column, max_side_ndv: F.Column
+) -> F.Column:
     """Merged-union estimate. The union count is EXACT iff both side
     sketches are unsaturated (side NDV ≤ K): then each sketch is its
-    side's complete hash set, so the merged sketch is the complete
-    union and m is the true union NDV — including the m == K boundary
-    (a union of exactly K distinct hashes). m alone can't distinguish
-    that boundary from a saturated union (both give m == K), so the
-    branch keys on the sides' exact NDVs, which the sketch build
-    already computes. Consistent with the per-type ndv <= K rule."""
-    return F.when(max_side_ndv <= K, m.cast("double")).otherwise(
+    side's COMPLETE hash set, so the pre-truncation merged distinct
+    count m_full is the true union NDV — even when it exceeds K (two
+    disjoint 60-user audiences union to 120 > K; the truncated count
+    m would misreport 64 as "exact"). m_full is bounded by 2K rows
+    per pair, so counting it costs nothing. Only when a side is
+    saturated do we fall back to the τ_K estimator on the truncated
+    sketch. Consistent with the per-type ndv <= K rule."""
+    return F.when(max_side_ndv <= K, m_full.cast("double")).otherwise(
         F.lit((K - 1) * TWO60) / tau
     )
 
@@ -191,13 +196,15 @@ def overlap_from_events(ev: DataFrame) -> DataFrame:
                 Window.partitionBy("type_a", "type_b").orderBy("h")
             ),
         )
-        .filter(F.col("rn") <= K)
     )
+    # m_full = merged distinct count BEFORE truncation (≤ 2K rows/pair);
+    # tau = K-th smallest (max of the rn<=K truncated sketch)
     uni = merged.groupBy("type_a", "type_b").agg(
-        F.count("*").cast("bigint").alias("m"), F.max("h").alias("tau")
+        F.count("*").cast("bigint").alias("m_full"),
+        F.max(F.when(F.col("rn") <= K, F.col("h"))).alias("tau"),
     )
     est_u = _est_union(
-        F.col("m"), F.col("tau"), F.greatest("ndv_a", "ndv_b")
+        F.col("m_full"), F.col("tau"), F.greatest("ndv_a", "ndv_b")
     )
     return (
         pairs.join(uni, ["type_a", "type_b"])

@@ -75,6 +75,34 @@ def test_saturated_estimator_on_planted_overlap(spark):
     assert 0.0 < r.jaccard_r < 0.9
 
 
+def test_disjoint_unsaturated_sides_union_is_exact(spark):
+    # Regression (r9): A = users 0..59, B = 100..159 — fully DISJOINT,
+    # both sides unsaturated (60 ≤ K=64), but |A∪B| = 120 > K. The old
+    # rule reported the TRUNCATED merged count m = 64 as "exact",
+    # giving jaccard ≈ 0.875 for disjoint audiences. Both sketches are
+    # complete hash sets here, so the pre-truncation merged distinct
+    # count (m_full = 120) is the true union and jaccard must be 0.
+    from pyspark.sql import functions as F
+
+    from cdc_stream_batch_etl_spark.operators.kmvoverlap import (
+        overlap_from_events,
+    )
+
+    ev = (
+        spark.range(60)
+        .select(F.lit("a").alias("event_type"), F.col("id").alias("user_id"))
+        .unionByName(
+            spark.range(100, 160).select(
+                F.lit("b").alias("event_type"), F.col("id").alias("user_id")
+            )
+        )
+    )
+    r = overlap_from_events(ev).collect()[0]
+    assert r.est_a_r == 60.0 and r.est_b_r == 60.0
+    assert r.est_union_r == 120.0
+    assert r.jaccard_r == 0.0
+
+
 def test_union_exactly_k_is_exact_not_estimated(spark):
     # The m == K boundary: A = users 0..44, B = 19..63 → |A∪B| = 64 = K
     # exactly, both sides unsaturated (45 < K each). The union sketch
