@@ -73,8 +73,17 @@ def _step(
     lv, m2, l1, l2, l3 = (
         state.get if state.exists else (_NONE, _NONE, 0, 0, 0)
     )
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["tu", "event_id"])
+    # applyInPandasWithState delivers a group's micro-batch as MULTIPLE
+    # Arrow chunks (maxRecordsPerBatch-sized) in arbitrary row order;
+    # sorting each chunk independently would not enforce the documented
+    # (tu, event_id) ordering across chunk boundaries (>10k events in
+    # one micro-batch could replay out of order and miss levels).
+    # Materialize the whole group once, then sort globally.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["tu", "event_id"]
+        )
         for tu, ty in zip(pdf["tu"], pdf["event_type"]):
             tu = int(tu)
             # flags first (strictly-before semantics), then state update

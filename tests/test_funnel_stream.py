@@ -103,6 +103,38 @@ def _brute_level_w(events):
     return lvl
 
 
+def test_step_sorts_across_arrow_chunks():
+    """Regression (r9): applyInPandasWithState delivers one group's
+    micro-batch as MULTIPLE Arrow chunks in arbitrary order. Sorting
+    each chunk independently would replay a later chunk's click before
+    an earlier chunk's view, missing the 2-chain. Feed _step the chunks
+    REVERSED — the whole-group concat+sort must still find level 2."""
+    import pandas as pd
+
+    from cdc_stream_batch_etl_spark.streaming.funnel_stream import _step
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.got = v
+
+    # chunk A holds the LATER click, chunk B the EARLIER view;
+    # per-chunk sort processes click-then-view → level 1 (wrong)
+    chunk_a = pd.DataFrame(
+        {"tu": [100 * US], "event_id": [2], "event_type": ["click"]}
+    )
+    chunk_b = pd.DataFrame(
+        {"tu": [0], "event_id": [1], "event_type": ["view"]}
+    )
+    st = FakeState()
+    out = list(_step((7,), iter([chunk_a, chunk_b]), st))
+    assert out[0]["funnel_level"].iloc[0] == 2, (
+        "cross-chunk (tu, event_id) ordering not enforced"
+    )
+
+
 def test_funnel_stream_restart_resumes_state(spark, tmp_path):
     """Checkpoint-kill-restart: stop after the first two files, restart
     on the same checkpoint with the third — chains whose final step
