@@ -217,10 +217,14 @@ def compact_partitions(
     maintenance log.
 
     Durability: the data is written ONCE (to a sibling tmp dir), then
-    swapped in via FileSystem.rename — atomic on HDFS and local FS, so
-    a crash leaves either the old table or the new one, never neither.
-    The old dir is moved aside first and deleted last, and tmp is
-    cleaned up in a finally. On object stores (S3A) rename is
+    swapped in via two FileSystem.renames (each atomic on HDFS and
+    local FS). Between rename(dst→__precompact) and rename(tmp→dst)
+    there is a small crash window where NO table exists at `path`;
+    the next compact_partitions run auto-recovers by renaming
+    __precompact back to dst before anything else, so a crash leaves
+    the old table, the new one, or a state the next run restores —
+    never an unrecoverable gap. The old dir is deleted last and tmp
+    is cleaned up in a finally. On object stores (S3A) rename is
     copy+delete, not atomic — pair compaction there with a manifest
     commit (Iceberg/Delta) instead of relying on directory swap.
 
@@ -239,14 +243,23 @@ def compact_partitions(
     Path = spark._jvm.org.apache.hadoop.fs.Path
     dst = Path(path)
     fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__precompact"
+    tmp_p, old_p = Path(tmp), Path(old)
+    # crash-window auto-recovery: a previous run that died between
+    # rename(dst→__precompact) and rename(tmp→dst) left NO table at
+    # `path` but a complete copy at __precompact — restore it BEFORE
+    # the debris sweep (which would otherwise delete the only copy)
+    if not fs.exists(dst) and fs.exists(old_p):
+        if not fs.rename(old_p, dst):
+            raise IOError(
+                f"compact_partitions: could not restore {old} to {path}"
+            )
     total_bytes = fs.getContentSummary(dst).getLength()
     files_before = len(spark.read.parquet(path).inputFiles())
     n_files = max(1, -(-total_bytes // target_bytes))
 
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    old = path.rstrip("/") + "__precompact"
-    tmp_p, old_p = Path(tmp), Path(old)
     for stale in (tmp_p, old_p):  # debris from a previously crashed run
         if fs.exists(stale):
             fs.delete(stale, True)
@@ -279,8 +292,21 @@ def compact_partitions(
                 )
                 .drop("_nf")
             )
+            # explicit partition count = total budgeted file count, and
+            # RANGE partitioning so distinct (partition, salt) groups
+            # land in distinct tasks — a plain hash repartition at the
+            # default shuffle count lets groups collide into one task,
+            # writing a single over-budget file per directory. per_part
+            # is footer-priced and hive-partition-sized, so the count
+            # aggregation is a cheap scalar.
+            n_total = int(
+                per_part.agg(F.sum("_nf").cast("bigint")).collect()[0][0]
+                or 0
+            )
             (
-                salted.repartition(*partition_cols, "_salt")
+                salted.repartitionByRange(
+                    max(1, n_total), *partition_cols, "_salt"
+                )
                 .drop("_salt")
                 .write.mode("overwrite")
                 .partitionBy(*partition_cols)

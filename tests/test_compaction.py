@@ -80,6 +80,31 @@ def test_partitioned_compaction_honors_byte_budget(spark, tmp_path):
     assert after.count() == 60_005
 
 
+def test_compaction_recovers_crash_window(spark, tmp_path):
+    """Regression (r9): a crash BETWEEN rename(dst→__precompact) and
+    rename(tmp→dst) leaves no table at `path` — only the __precompact
+    copy. The next run must restore it (not fail at getContentSummary,
+    and not sweep the only copy away as debris) and then compact
+    normally."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    expected = {r.id for r in spark.read.parquet(path).collect()}
+    # simulate the mid-swap crash: table moved aside, nothing at dst
+    shutil.move(path, path + "__precompact")
+    # plus tmp debris from the same dead run
+    os.makedirs(path + "__compacting", exist_ok=True)
+    assert not os.path.exists(path)
+
+    stats = compact_partitions(spark, path)
+    assert stats["files_after"] == 1
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")
+    assert {r.id for r in spark.read.parquet(path).collect()} == expected
+
+
 def test_compaction_cleans_stale_debris_and_swaps_atomically(spark, tmp_path):
     """Debris dirs from a crashed prior run must not poison the next
     one, and the swap must leave neither tmp nor the moved-aside
