@@ -619,10 +619,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     total_bits = 8 * len(data)
     # sliding 32-bit big-endian window per byte offset: any ≤16-bit
     # field starting at bit position bp lives inside u32[bp >> 3]
-    # (bit offset bp & 7 ≤ 7, so 7 + 16 ≤ 32); 4 zero pad bytes keep
-    # the tail indexable — over-reads past the stream are caught by
-    # the final bounds check
-    p = np.concatenate([data, np.zeros(4, dtype=np.uint8)]).astype(np.uint32)
+    # (bit offset bp & 7 ≤ 7, so 7 + 16 ≤ 32). Zero padding sized so a
+    # truncated/corrupt segment cannot INDEX past the window between
+    # two bounds checks: bp is validated at every (block, component)
+    # boundary, and one component decodes at most 64 symbols ×
+    # (16-bit code + 11-bit magnitude) ≈ 216 bytes past the check —
+    # 256 pad bytes keep every read in range so over-runs surface as
+    # the intended ValueError, never IndexError or garbage blocks.
+    p = np.concatenate([data, np.zeros(256, dtype=np.uint8)]).astype(np.uint32)
     u32 = (p[:-3] << 24) | (p[1:-2] << 16) | (p[2:-1] << 8) | p[3:]
 
     h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
@@ -637,6 +641,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     bp = 0
     for b in range(n_blocks):
         for ci, ((dsym, dlen), (asym, alen), plane) in enumerate(luts):
+            if bp > total_bits:
+                raise ValueError("JPEG entropy segment exhausted")
             zz = plane[b]
             w32 = int(u32[bp >> 3])
             pk = (w32 >> (16 - (bp & 7))) & 0xFFFF

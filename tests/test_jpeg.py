@@ -120,6 +120,27 @@ def test_decoder_rejects_corrupt_and_unsupported_payloads():
         jpeg_decode(blob[:sof] + b"\xff\xc2" + blob[sof + 2 :])
 
 
+def test_truncated_entropy_segment_raises_valueerror_not_indexerror():
+    """Regression (r9): chopping bytes out of the MIDDLE of the
+    entropy-coded segment (EOI kept, so framing parses) must raise the
+    intended ValueError as soon as the bit stream over-runs — the old
+    loop bounds-checked only AFTER decoding every block, so it first
+    decoded zero padding and could raise IndexError (u32 index out of
+    range) or fabricate garbage blocks. A multi-block image guarantees
+    the truncation lands mid-stream."""
+    px = _doc_pixels("x" * 900)  # several MCU rows → long segment
+    blob = jpeg_encode(px, 90)
+    sos = blob.index(b"\xff\xda")
+    seg_start = sos + 2 + int.from_bytes(blob[sos + 2 : sos + 4], "big")
+    assert blob.endswith(b"\xff\xd9")
+    seg_len = len(blob) - 2 - seg_start
+    assert seg_len > 200, "fixture too small to truncate mid-stream"
+    for keep in (seg_len // 8, seg_len // 3, seg_len // 2):
+        chopped = blob[: seg_start + keep] + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            jpeg_decode(chopped)
+
+
 def test_single_block_and_tiny_images():
     """Edge geometry: 8×8 exactly one MCU; 1×1 exercises maximal edge
     padding (7 replicated rows/cols)."""
