@@ -18,9 +18,9 @@ make the FORMAT simple enough to be real without them:
 - ``resize_bmp`` — a REAL nearest-neighbor resize: decode → 2-D numpy
   gather to 224×224 → re-encode as a fresh BMP; outputs the actual
   re-encoded byte length and the checksum of the resampled raster.
-- ``multimodal_frame_sample`` — video-style 1→N frame fan-out inside
-  mapInPandas (frame count from the digest, per-frame digests over the
-  payload) — demonstrates the expanding Arrow batch shape.
+- ``multimodal_frame_sample`` — lives in aviops.py since round 9: the
+  video-style 1→N frame fan-out now encodes and re-parses REAL
+  MJPEG-in-AVI container bytes (RIFF walk + per-frame JPEG decode).
 
 Every query here is fully DuckDB-oracled: the payload generator is
 digest-deterministic, so the oracle independently predicts header fields
@@ -350,49 +350,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_bmp(encode_bmp(docs))
 
 
-_FRAMES_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.LongType()),
-        T.StructField("frame_sha", T.StringType()),
-    ]
-)
-
-_FRAMES_ORACLE = """
-WITH hexmap AS (SELECT i AS v, printf('%02x', i) AS hx FROM range(256) t(i)),
-sh AS (SELECT doc_id, text, lower(sha256(text)) AS h FROM documents),
-nf AS (
-  SELECT sh.doc_id, sh.text, 1 + (m.v % 4) AS n_frames
-  FROM sh JOIN hexmap m ON m.hx = substr(sh.h, 5, 2)
-),
-fr AS (SELECT doc_id, text, unnest(range(n_frames)) AS frame_idx FROM nf)
-SELECT doc_id,
-       CAST(frame_idx AS BIGINT) AS frame_idx,
-       sha256(text || '|frame|' || CAST(frame_idx AS VARCHAR)) AS frame_sha
-FROM fr
-"""
-
-
-@register("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: 1→N row expansion inside mapInPandas.
-    Frame count is digest byte 2 (1..4 frames); each frame carries a
-    content-derived digest. Demonstrates the expanding batch shape a real
-    keyframe extractor would produce."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, shas = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = text.encode("utf-8")
-                n_frames = 1 + hashlib.sha256(payload).digest()[2] % 4
-                for i in range(n_frames):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    shas.append(
-                        hashlib.sha256(payload + b"|frame|" + str(i).encode()).hexdigest()
-                    )
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
-
-    return docs.mapInPandas(fn, schema=_FRAMES_SCHEMA)
+# multimodal_frame_sample moved to aviops.py in round 9: the 1→N frame
+# fan-out now encodes and RE-PARSES real MJPEG-in-AVI container bytes
+# (RIFF walk + per-frame JPEG decode) instead of digest-derived
+# expansion plumbing.

@@ -46,75 +46,68 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r8 window: with the ledger closed (every registered query has a
-#: green driver row as of r7), the window's job becomes (a) first rows
-#: for the queries NEW this round, (b) re-rows for every query whose
-#: oracle or plan CHANGED this round, (c) the two change-sensitive
-#: sentinels, and (d) staleness rotation — the greens whose last driver
-#: row is oldest (the r3 cohort) re-verify, so no query's most recent
-#: driver check falls more than ~5 rounds behind the moving codebase.
+#: r9 window: (a) re-rows for the two queries whose plan or oracle
+#: CHANGED this round — multimodal_frame_sample (real MJPEG-in-AVI
+#: container parse replaces the digest-only fan-out) and
+#: kmv_set_overlap (union exactness now keyed on the pre-truncation
+#: merged count m_full); (b) the two change-sensitive sentinels;
+#: (c) staleness rotation — the 46 greens whose last driver row is
+#: oldest (the r3/r4 cohorts + the earliest r5s), keeping every
+#: query's most recent driver check ≤ ~5 rounds old.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) NEW in round 8 — first driver rows
-    "window_funnel_levels",
-    "heavy_hitters_cms",
-    "bpe_merge_candidates",
-    "half_life_popularity",
-    "approx_distinct_native",
-    "revenue_marginals",
-    # (b) changed in round 8: oracle fixes (source_mix_plan type cast,
-    # kmv union-boundary rule) and plan rewrites (pareto pre-prune,
-    # islands shard-and-stitch, jpeg Annex-K zigzag + vectorized codec)
-    "source_mix_plan",
+    # (a) changed in round 9 — must re-green
+    "multimodal_frame_sample",
     "kmv_set_overlap",
-    "pareto_frontier_orders",
-    "orderkey_islands",
-    "image_jpeg_roundtrip",
-    # (c) change-sensitive sentinels: reference-parity flagship + the
-    # end-to-end curation composition
+    # (b) change-sensitive sentinels
     "customer_segments",
     "curated_training_set",
-    # (d) rotation: the 40 greens whose last driver row is OLDEST
-    # (r3 cohort) — every query's driver row stays ≤ 5 rounds old
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "boilerplate_ratio",
-    "contamination_check",
-    "corpus_bigrams",
-    "corpus_datacard",
-    "dedup_exact",
-    "dedup_prefix",
-    "doc_chunks",
-    "doc_fingerprint",
-    "doc_length_by_lang",
-    "doc_lm_score",
-    "doc_quality",
-    "doc_repetition",
-    "doc_token_stats",
-    "duplicate_spans",
-    "embed_near_dup_lsh",
-    "embed_near_dup_pairs",
-    "embedding_quantize",
-    "kmeans_refine",
-    "label_centroids",
-    "lang_id",
-    "lang_temperature_sample",
-    "multimodal_binary_meta",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "ngram_contamination",
-    "pack_sequences",
-    "pii_scrub",
-    "pq_codes",
-    "quality_topk_sample",
-    "simhash_fingerprints",
-    "simhash_near_pairs",
-    "source_overlap",
-    "source_quota_sample",
+    # (c) rotation: oldest driver rows first (r3 cohort, then r4, r5)
+    "ann_lsh_topk",
     "span_dedup_coverage",
     "stratified_sample",
     "term_postings",
+    "tfidf_top_terms",
+    "train_test_split",
+    "alerts_summary",
+    "anomaly_bulk_events",
+    "anomaly_geo_concentration",
+    "anomaly_high_value",
+    "anomaly_velocity",
+    "bitwise_region_filter",
+    "category_distribution",
+    "customer_order_gaps",
+    "customer_spend_running",
+    "daily_revenue_rolling7",
+    "daily_rollup",
+    "disjunctive_filter",
+    "event_op_filter",
+    "geo_distribution",
+    "minute_metrics",
+    "price_deciles",
+    "product_velocity",
+    "random_pick",
+    "region_rollup",
+    "scd2_history",
+    "segment_histogram",
+    "small_order_filter",
+    "stock_status_histogram",
+    "supplier_rollup",
+    "time_range_filter",
+    "top_parts_per_brand",
+    "user_activity",
+    "user_sessions",
+    "active_customer_profile",
+    "asof_purchase_attribution",
+    "basket_rules",
+    "bpe_token_count",
+    "cdc_stats",
+    "cdc_stats_total",
+    "change_log",
+    "churned_customers_yoy",
+    "clean_corpus",
+    "cluster_representatives",
+    "compression_gate",
+    "conversion_funnel",
 )
 
 
@@ -191,6 +184,9 @@ def load_all() -> None:
     from .operators import windowfunnel  # noqa: F401  window_funnel_levels
     from .operators import heavyhitters  # noqa: F401  heavy_hitters_cms
     from .operators import decay  # noqa: F401  half_life_popularity
+
+    # --- CHANGED in round 9: real MJPEG-in-AVI container parse ---
+    from .multimodal import aviops  # noqa: F401  multimodal_frame_sample (real container bytes)
 
     # --- past the ~50-entry window: green in r1-r5, order not significant ---
     from . import operators  # noqa: F401

@@ -3,10 +3,8 @@ recall most of the exact top-k, and the multimodal stubs must produce the
 declared schemas with sane values."""
 
 from cdc_stream_batch_etl_spark.similarity.ann import TOP_K, ann_cosine_topk, ann_lsh_topk
-from cdc_stream_batch_etl_spark.multimodal.binaryops import (
-    multimodal_features,
-    multimodal_frame_sample,
-)
+from cdc_stream_batch_etl_spark.multimodal.aviops import multimodal_frame_sample
+from cdc_stream_batch_etl_spark.multimodal.binaryops import multimodal_features
 
 
 def test_lsh_recall_vs_exact(spark, sf_dir):
@@ -56,8 +54,17 @@ def test_multimodal_features_schema(spark, sf_dir):
 
 def test_multimodal_frames_fanout(spark, sf_dir):
     df = multimodal_frame_sample(spark, sf_dir)
-    agg = df.groupBy("doc_id").count().collect()
-    assert all(1 <= r["count"] <= 4 for r in agg)
+    rows = df.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frs in per_doc.items():
+        assert 1 <= len(frs) <= 4
+        # n_frames comes from the parsed avih header and must equal the
+        # actual decoded fan-out; dims come from the decoded JPEGs
+        assert all(r.n_frames == len(frs) for r in frs)
+        assert all(16 <= r.frame_w < 64 and 16 <= r.frame_h < 64 for r in frs)
+        assert sorted(r.frame_idx for r in frs) == list(range(len(frs)))
 
 
 def test_embed_near_dup_lsh_recall(spark, sf_dir):
