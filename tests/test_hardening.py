@@ -450,3 +450,69 @@ def test_state_asof_cut_is_nonvacuous_and_converges(spark, sf_dir):
         latest[u].last_event_id != asof[u].last_event_id for u in asof
     ), "cut excluded nothing — vacuous time travel"
     assert all(str(r.last_ts) <= AS_OF for r in asof.values())
+
+
+# ---------------------------------------------------------------------------
+# exact-arithmetic oracle guard (r9, from the r7/r8 briefs): DuckDB widens
+# sum(BIGINT) to HUGEINT, which pandas lowers to float64 — the driver's
+# value hash is TYPE-sensitive, so an int64 Spark column vs a float64
+# oracle column hash-mismatches even when every value is equal (the trap
+# that bit source_mix_plan in r7). Guard: DESCRIBE every registered oracle
+# (plan-only, no execution) and fail on any HUGEINT/UHUGEINT result
+# column — the fix is always an outer CAST(sum(...) AS BIGINT).
+# ---------------------------------------------------------------------------
+
+
+def _hugeint_columns(sql: str, con) -> list[str]:
+    desc = con.execute(f"DESCRIBE {sql}").df()
+    return [
+        n
+        for n, t in zip(desc["column_name"], desc["column_type"])
+        if t in ("HUGEINT", "UHUGEINT")
+    ]
+
+
+def test_no_oracle_returns_hugeint(sf_dir):
+    import duckdb
+
+    from cdc_stream_batch_etl_spark import registry
+
+    registry.load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in registry.ORACLES.items():
+        cols = _hugeint_columns(sql, con)
+        if cols:
+            bad[name] = cols
+    assert not bad, (
+        f"oracles with HUGEINT result columns (un-cast sum over BIGINT — "
+        f"wrap with CAST(... AS BIGINT) or the driver hash will type-"
+        f"mismatch): {bad}"
+    )
+
+
+def test_hugeint_guard_detects_planted_uncast_sum(sf_dir):
+    """The guard itself must fire on the exact spelling that caused the
+    r7 source_mix_plan failure: an un-cast sum over a BIGINT cast."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    planted = (
+        "SELECT o_custkey, sum(CAST(o_orderkey AS BIGINT)) AS s "
+        "FROM orders GROUP BY 1"
+    )
+    assert _hugeint_columns(planted, con) == ["s"]
+    fixed = (
+        "SELECT o_custkey, CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) "
+        "AS s FROM orders GROUP BY 1"
+    )
+    assert _hugeint_columns(fixed, con) == []
