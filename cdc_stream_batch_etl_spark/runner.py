@@ -113,6 +113,32 @@ def _observed_write(name: str, df: DataFrame, path: str) -> tuple[int, list[str]
     return cnt, failures
 
 
+def run_query(
+    spark: SparkSession, name: str, sf_dir: str, out_path: str | None = None
+) -> int:
+    """Materialize ONE registered query and release any caches it
+    planted — the runner-level home of the persist contract. A few
+    operators (tpch5 important_stock/top_supplier, triangles, pagerank)
+    persist small bounded frames that a lazy return cannot unpersist
+    without recomputing; bench.py clearCache()s per timed run, and this
+    is the equivalent for any other long-lived caller: go through
+    run_query and executor storage cannot accumulate across queries.
+
+    Returns the materialized row count (via the observed write when
+    ``out_path`` is given, else a count action)."""
+    from . import registry
+
+    registry.load_all()
+    df = registry.QUERIES[name](spark, sf_dir)
+    try:
+        if out_path is not None:
+            cnt, _ = _observed_write(name, df, out_path)
+            return cnt
+        return df.count()
+    finally:
+        spark.catalog.clearCache()
+
+
 def run_batch_pipeline(
     spark: SparkSession, sf_dir: str, out_dir: str, run_ts: str | None = None
 ) -> RunResult:
@@ -141,6 +167,10 @@ def run_batch_pipeline(
         )
         result.row_counts[name] = cnt
         result.quality_failures.extend(fails)
+        # persist contract: outputs are on disk now; drop any bounded
+        # frames the query cached so back-to-back runs can't accumulate
+        # executor storage
+        spark.catalog.clearCache()
 
     for name, (upstream, fn) in DERIVED_QUERIES.items():
         src = spark.read.parquet(f"{out_dir}/{upstream}/latest")

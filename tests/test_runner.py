@@ -82,3 +82,26 @@ def test_generator_distributions(spark):
     # determinism: same seed → same data
     cust2 = generate_customers(spark, 200)
     assert cust.exceptAll(cust2).count() == 0
+
+
+def test_run_query_releases_persisted_frames(spark, sf_dir, tmp_path):
+    """Runner-level persist contract (r9): important_stock/top_supplier
+    persist a bounded per-part aggregate that their lazy return cannot
+    unpersist (tpch5.py caller-must-clear comment). Routed through
+    run_query, the cache must be GONE after each call — external callers
+    of the runner cannot accumulate executor storage."""
+    from cdc_stream_batch_etl_spark.runner import run_query
+
+    spark.catalog.clearCache()
+    before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    n1 = run_query(spark, "important_stock", sf_dir)
+    n2 = run_query(
+        spark, "top_supplier", sf_dir, out_path=str(tmp_path / "ts")
+    )
+    assert n1 > 0 and n2 > 0
+    after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert after <= before, "run_query leaked persisted frames"
