@@ -26,6 +26,26 @@ map-side partials. The pair array comes out of an aggregate, so the
 slice lambdas read a materialized attribute (the SCALING.md
 transform-quadratic rule is satisfied by the exchange boundary).
 
+Support-threshold contract (the ×64-probe 0.71 exponent, adjudicated
+r9): the operator is LINEAR-class — every stage is Θ(rows × bounded
+basket) — and the measured super-√N growth is the probe's replication
+artifact, not a plan asymptote: replicating baskets k× multiplies
+every pair's support by k, so pairs that are singletons in real data
+(30:1 majority at sf0.1: 1.196M distinct pairs, 3.5k with support ≥
+2) ALL cross the absolute MIN_SUPPORT=2 and the output degenerates to
+the full pair domain. Real corpus growth adds new orders with fresh
+part combinations instead — supports stay near-uniform and output
+stays output-bounded. A CMS pre-filter before the exchange (the
+heavyhitters.py pattern) was evaluated and REJECTED quantitatively:
+pruning at absolute threshold T=2 needs bucket collision mass N/W < 1
+occurrence, i.e. width Ω(N) — the cells table stops being the
+scale-constant broadcast that makes the pattern work (heavyhitters
+prunes because its threshold is FRACTIONAL: width ≫ 1/support is
+N-independent). At real 100 TB an absolute support of 2 is the wrong
+knob anyway; the scale path is a fractional threshold, for which
+``cms_heavy_hitters`` over the exploded pair key drops sub-support
+mass before the exchange with a scale-constant sketch.
+
 History: the first spelling was a self-join on l_orderkey; the ×8 probe
 flagged it at exponent 1.48 — Catalyst broadcast the corpus-sized
 distinct frame (fine at 600k rows, a HashedRelation blowup at 4.8M).
