@@ -272,6 +272,10 @@ HEADLINE: list[str] = [
     "supplier_rollup",
     "time_range_filter",
     "train_test_split",
+    # round 9: new operators
+    "winnowed_fingerprints",
+    "winnow_match_pairs",
+    "vocab_coverage",
 ]
 
 

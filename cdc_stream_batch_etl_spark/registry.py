@@ -46,16 +46,21 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r9 window: (a) re-rows for the two queries whose plan or oracle
-#: CHANGED this round — multimodal_frame_sample (real MJPEG-in-AVI
-#: container parse replaces the digest-only fan-out) and
-#: kmv_set_overlap (union exactness now keyed on the pre-truncation
-#: merged count m_full); (b) the two change-sensitive sentinels;
-#: (c) staleness rotation — the 46 greens whose last driver row is
-#: oldest (the r3/r4 cohorts + the earliest r5s), keeping every
+#: r9 window: (a) first rows for the three queries NEW this round
+#: (winnowing fingerprints/matches, vocab coverage); (a') re-rows for
+#: the two whose plan or oracle CHANGED — multimodal_frame_sample
+#: (real MJPEG-in-AVI container parse replaces the digest-only
+#: fan-out) and kmv_set_overlap (union exactness now keyed on the
+#: pre-truncation merged count m_full); (b) the two change-sensitive
+#: sentinels; (c) staleness rotation — the greens whose last driver
+#: row is oldest (the r3/r4 cohorts + the earliest r5s), keeping every
 #: query's most recent driver check ≤ ~5 rounds old.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 9 — must re-green
+    # (a) NEW in round 9 — first driver rows
+    "winnowed_fingerprints",
+    "winnow_match_pairs",
+    "vocab_coverage",
+    # (a') changed in round 9 — must re-green
     "multimodal_frame_sample",
     "kmv_set_overlap",
     # (b) change-sensitive sentinels
@@ -105,9 +110,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "change_log",
     "churned_customers_yoy",
     "clean_corpus",
-    "cluster_representatives",
-    "compression_gate",
-    "conversion_funnel",
 )
 
 
@@ -187,6 +189,10 @@ def load_all() -> None:
 
     # --- CHANGED in round 9: real MJPEG-in-AVI container parse ---
     from .multimodal import aviops  # noqa: F401  multimodal_frame_sample (real container bytes)
+
+    # --- NEW in round 9 ---
+    from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
+    from .text import vocab  # noqa: F401  vocab_coverage
 
     # --- past the ~50-entry window: green in r1-r5, order not significant ---
     from . import operators  # noqa: F401

@@ -1,0 +1,217 @@
+"""Winnowing document fingerprints — local document fingerprinting by
+windowed hash minima (Schleimer, Wilkerson, Aiken: "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+algorithm; public paper, no reference-repo counterpart: SURVEY §2.11
+beyond-reference mandate, the span-level sibling of doc_fingerprint's
+whole-document hashes).
+
+Why it's in a training-data pipeline: whole-doc hashes miss partial
+copies and MinHash measures global set overlap; winnowing GUARANTEES
+any shared run of at least W+K-1 tokens between two documents shares a
+selected fingerprint (the paper's coverage theorem), so matches
+localize shared PASSAGES — contamination spans, boilerplate blocks,
+license headers — at a storage cost of ~2/(W+1) fingerprints per
+token.
+
+Algorithm (paper §2.2): hash every K-token shingle; slide a window of
+W consecutive shingle hashes; in each window select the MINIMUM hash,
+breaking ties by the RIGHTMOST position; the fingerprint set is the
+distinct selected (position, hash) pairs.
+
+Spark spelling — all scan-local per document, no corpus shuffle until
+the final distinct:
+  1. split → posexplode K-shingles (one md5-derived hash per shingle,
+     the repo's dedup idiom, truncated to 40 bits),
+  2. ONE window min per document over a combined sort key
+     ``h · 2²⁰ + (2²⁰ − 1 − pos)`` — min of the combined key IS
+     (min hash, rightmost position): smaller hash always wins, and
+     within a hash the larger position gives the smaller complement.
+     Window frame = ROWS BETWEEN CURRENT AND W-1 FOLLOWING, restricted
+     to full windows (pos ≤ n_shingles − W), exactly the paper's
+     definition,
+  3. decode + distinct.
+
+The combined key needs h < 2⁴⁴ to stay in a signed 64-bit int with a
+20-bit position field; 40-bit hashes leave headroom and keep both
+engines' arithmetic identical (collisions only coarsen fingerprints,
+identically in both engines — determinism is untouched).
+
+`winnow_match_pairs` then inverts the fingerprint table: documents
+sharing ≥ MIN_SHARED selected fingerprints, with the standard LSH
+bucket cap (a boilerplate fingerprint shared by half the corpus would
+otherwise quadratically explode one hash bucket — same fail-open
+contract as minhash.MAX_BUCKET, applied identically in the oracle).
+
+Scale: fingerprinting is Θ(tokens) scan-local work with per-doc window
+state (partitioned by doc_id — no global window); the match join
+shuffles ~2/(W+1) of the shingle volume on near-uniform 40-bit keys,
+bucket-capped. Window functions per doc on pos order: one exchange on
+doc_id, which the posexplode already required. 100 TB-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+#: shingle size (tokens) and window size (shingles) — the paper's
+#: guarantee threshold t = W + K - 1 = 8 tokens
+WINNOW_K = 4
+WINNOW_W = 5
+#: fingerprints shared by more docs than this are dropped from matching
+#: (fail-open boilerplate guard, both engines)
+MAX_FP_BUCKET = 64
+#: pair match threshold: ≥ this many shared fingerprints
+MIN_SHARED = 3
+
+_POS_BITS = 20
+_POS_MOD = 1 << _POS_BITS
+
+# 40-bit md5-derived shingle hash — same value in both engines
+_H40_SPARK = "cast(conv(substr(md5({s}), 1, 10), 16, 10) as bigint)"
+_H40_SQL = "CAST(('0x' || substr(md5({s}), 1, 10)) AS BIGINT)"
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, key) — one combined winnowing sort key per K-token
+    shingle; pos is 0-based shingle position."""
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.expr(
+            f"posexplode(transform(slice(t, 1, greatest(size(t) - {WINNOW_K - 1}, 0)), "
+            f"(x, i) -> array_join(slice(t, i + 1, {WINNOW_K}), ' ')))"
+        ).alias("pos", "s"),
+    )
+    h = F.expr(_H40_SPARK.format(s="s"))
+    return sh.select(
+        "doc_id",
+        "pos",
+        (h * _POS_MOD + (_POS_MOD - 1 - F.col("pos"))).alias("key"),
+    )
+
+
+_WINNOW_CTE = f"""
+sh AS (
+  SELECT d.doc_id, t.i - 1 AS pos,
+         {_H40_SQL.format(s=f"array_to_string(toks[t.i : t.i + {WINNOW_K - 1}], ' ')")}
+           * {_POS_MOD} + ({_POS_MOD} - 1 - (t.i - 1)) AS key
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       LATERAL unnest(generate_series(1, greatest(len(d.toks) - {WINNOW_K - 1}, 0))) t(i)
+),
+counted AS (
+  SELECT doc_id, pos, key,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wmin
+  FROM sh
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         ({_POS_MOD} - 1 - (wmin % {_POS_MOD})) AS fp_pos,
+         wmin // {_POS_MOD} AS fp_hash
+  FROM counted
+  WHERE pos <= n_sh - {WINNOW_W}
+)
+"""
+
+_FP_ORACLE = f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id,
+       CAST(fp_pos AS BIGINT) AS fp_pos,
+       CAST(fp_hash AS BIGINT) AS fp_hash
+FROM fp
+ORDER BY doc_id, fp_pos
+"""
+
+
+def _fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_pos, fp_hash) — the distinct winnowed selections."""
+    sh = _shingled(docs)
+    per_doc = Window.partitionBy("doc_id")
+    win = (
+        per_doc.orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    counted = sh.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(per_doc).alias("n_sh"),
+        F.min("key").over(win).alias("wmin"),
+    )
+    return (
+        counted.filter(F.col("pos") <= F.col("n_sh") - WINNOW_W)
+        .select(
+            "doc_id",
+            (F.lit(_POS_MOD - 1) - F.col("wmin") % _POS_MOD).alias("fp_pos"),
+            # integer shift, NOT float division — wmin is up to 2^60 and
+            # doubles only carry 53 bits
+            F.shiftright("wmin", _POS_BITS).alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+@register("winnowed_fingerprints", oracle=_FP_ORACLE)
+def winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint set: the selected (position,
+    40-bit hash) pairs under K=4, W=5 — any shared 8-token run between
+    two documents is guaranteed to share a row's fp_hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _fingerprints(docs).orderBy("doc_id", "fp_pos")
+
+
+_PAIRS_ORACLE = f"""
+WITH {_WINNOW_CTE},
+keyed AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+capped AS (
+  SELECT doc_id, fp_hash FROM (
+    SELECT *, count(*) OVER (PARTITION BY fp_hash) AS bsz FROM keyed
+  ) WHERE bsz <= {MAX_FP_BUCKET}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM capped a JOIN capped b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("winnow_match_pairs", oracle=_PAIRS_ORACLE)
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥ MIN_SHARED winnowed fingerprints —
+    passage-level match candidates (contamination spans, boilerplate
+    blocks). Inverted-index join on the 40-bit fingerprint hash with
+    the fail-open MAX_FP_BUCKET cap; join volume is the winnowed ~2/(W+1)
+    of shingle volume, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = _fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    bsz = Window.partitionBy("fp_hash")
+    capped = (
+        keyed.withColumn("bsz", F.count("*").over(bsz))
+        .filter(F.col("bsz") <= MAX_FP_BUCKET)
+        .drop("bsz")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
