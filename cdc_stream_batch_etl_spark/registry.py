@@ -144,10 +144,14 @@ def load_all() -> None:
       r7  — the 13 never-driver-checked operators led (closing the
               216-query ledger), then the 11 de-hinted broadcast
               queries, then the change-sensitive core. 50/50 green.
-      r8 (now) — ledger closed, so the window shifts to maintenance:
-              new queries first, every changed oracle/plan second,
-              sentinels third, then staleness rotation (the r3-cohort
-              greens re-verify).
+      r8  — ledger closed, so the window shifted to maintenance: new
+              queries first, every changed oracle/plan second, sentinels
+              third, then staleness rotation (the r3-cohort greens
+              re-verified). 50/50 green.
+      r9 (now) — same maintenance shape: the three new operators
+              (winnowing ×2, vocab coverage), the two changed plans
+              (multimodal_frame_sample real-AVI rewrite, kmv_set_overlap
+              m_full rule), sentinels, then the r3/r4-cohort rotation.
     """
     # --- NEW in round 6: first driver rows this round (positions 1-8) ---
     from .operators import tpch2  # noqa: F401  promo_revenue_share, min_cost_supplier, customer_reach
