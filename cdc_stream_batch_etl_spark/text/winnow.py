@@ -193,24 +193,25 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of shingle volume, not the corpus."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     keyed = _fingerprints(docs).select("doc_id", "fp_hash").distinct()
-    bsz = Window.partitionBy("fp_hash")
-    capped = (
-        keyed.withColumn("bsz", F.count("*").over(bsz))
-        .filter(F.col("bsz") <= MAX_FP_BUCKET)
-        .drop("bsz")
+    # bucket-pair idiom (dedup/minhash.py): fold each fingerprint's doc
+    # list into ONE row, cap, and generate (a < b) pairs scan-locally
+    # from the sorted array — a fp_hash self-join would recompute the
+    # whole fingerprint subtree per side (2 corpus scans + 2 window
+    # passes) since nothing here is persisted
+    buckets = (
+        keyed.groupBy("fp_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= MAX_FP_BUCKET)
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fp_hash") == F.col("b.fp_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= MIN_SHARED)
         .orderBy("doc_a", "doc_b")
