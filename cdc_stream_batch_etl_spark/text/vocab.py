@@ -72,9 +72,15 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-(source, token) counts — the only corpus-sized exchange; the
     # global vocabulary re-aggregates THIS table (|sources|·|types| rows),
-    # not the raw tokens, so the corpus shuffles once
-    per = tok.groupBy("source", "w").agg(
-        F.count("*").cast("bigint").alias("occ")
+    # not the raw tokens. Persisted because both the vocabulary cut and
+    # the coverage rollup consume it — without the persist each consumer
+    # re-runs the corpus explode+agg (2 scans in the PLANS profile).
+    # Caller-must-clear contract as elsewhere (runner.run_query, bench
+    # and the driver clearCache between queries).
+    per = (
+        tok.groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("occ"))
+        .persist()
     )
     by_tok = per.groupBy("w").agg(F.sum("occ").alias("c"))
     # deterministic top-V cut: (count DESC, token ASC) total order
