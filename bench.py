@@ -276,6 +276,8 @@ HEADLINE: list[str] = [
     "winnowed_fingerprints",
     "winnow_match_pairs",
     "vocab_coverage",
+    "content_defined_chunks",
+    "chunk_dedup_report",
 ]
 
 

@@ -46,8 +46,9 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r9 window: (a) first rows for the three queries NEW this round
-#: (winnowing fingerprints/matches, vocab coverage); (a') re-rows for
+#: r9 window: (a) first rows for the five queries NEW this round
+#: (winnowing fingerprints/matches, vocab coverage, content-defined
+#: chunking ×2); (a') re-rows for
 #: the two whose plan or oracle CHANGED — multimodal_frame_sample
 #: (real MJPEG-in-AVI container parse replaces the digest-only
 #: fan-out) and kmv_set_overlap (union exactness now keyed on the
@@ -60,6 +61,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "winnowed_fingerprints",
     "winnow_match_pairs",
     "vocab_coverage",
+    "content_defined_chunks",
+    "chunk_dedup_report",
     # (a') changed in round 9 — must re-green
     "multimodal_frame_sample",
     "kmv_set_overlap",
@@ -108,8 +111,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "cdc_stats",
     "cdc_stats_total",
     "change_log",
-    "churned_customers_yoy",
-    "clean_corpus",
 )
 
 
@@ -148,8 +149,9 @@ def load_all() -> None:
               queries first, every changed oracle/plan second, sentinels
               third, then staleness rotation (the r3-cohort greens
               re-verified). 50/50 green.
-      r9 (now) — same maintenance shape: the three new operators
-              (winnowing ×2, vocab coverage), the two changed plans
+      r9 (now) — same maintenance shape: the five new operators
+              (winnowing ×2, vocab coverage, content-defined chunking
+              ×2), the two changed plans
               (multimodal_frame_sample real-AVI rewrite, kmv_set_overlap
               m_full rule), sentinels, then the r3/r4-cohort rotation.
     """
@@ -197,6 +199,7 @@ def load_all() -> None:
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
     from .text import vocab  # noqa: F401  vocab_coverage
+    from .text import cdchunk  # noqa: F401  content_defined_chunks, chunk_dedup_report
 
     # --- past the ~50-entry window: green in r1-r5, order not significant ---
     from . import operators  # noqa: F401

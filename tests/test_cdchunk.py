@@ -1,0 +1,96 @@
+"""Content-defined chunking contracts (text/cdchunk.py): the
+boundary-shift-resistance property that distinguishes it from
+fixed-stride chunking, chunk-extent integrity, and the dedup report's
+arithmetic."""
+
+from pyspark.sql import functions as F
+
+from cdc_stream_batch_etl_spark.text.cdchunk import (
+    CDC_DIV,
+    CDC_K,
+    _chunked,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _base_text(n=400):
+    # varied tokens so boundary hashes are well distributed
+    return " ".join(f"w{(i * 37) % 101}q{i % 13}" for i in range(n))
+
+
+def test_extents_partition_the_document(spark):
+    text = _base_text()
+    n = len(text.split(" "))
+    rows = sorted(
+        _chunked(_docs(spark, [(1, text)])).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert rows[0].start_tok == 1
+    covered = 0
+    for i, r in enumerate(rows):
+        assert r.chunk_idx == i
+        assert r.start_tok == covered + 1
+        assert r.n_tokens >= 1
+        covered += r.n_tokens
+    assert covered == n, "chunks must tile the document exactly"
+    # expected chunk length ≈ CDC_DIV — loose 4x band
+    assert n / (4 * CDC_DIV) <= len(rows) <= 4 * n / CDC_DIV
+
+
+def test_edit_preserves_downstream_chunks(spark):
+    """THE content-defined property: prepending tokens shifts every
+    fixed-stride chunk, but content-defined boundaries realign — the
+    edited copy must SHARE most chunk hashes with the original."""
+    base = _base_text()
+    edited = "inserted tokens up front " + base
+    rows = _chunked(_docs(spark, [(1, base), (2, edited)])).collect()
+    h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in rows if r.doc_id == 2}
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.7, (
+        f"only {shared:.0%} of chunks survived a front edit — "
+        "boundaries are not content-defined"
+    )
+    # sanity: fixed-stride on the same pair shares ~nothing
+    stride = CDC_DIV
+
+    def stride_hashes(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + stride])
+            for i in range(0, len(toks), stride)
+        }
+
+    fixed_shared = stride_hashes(base) & stride_hashes(edited)
+    assert len(fixed_shared) <= 1, "fixture too tame to demonstrate the property"
+
+
+def test_identical_docs_fully_dedup(spark):
+    text = _base_text(200)
+    rows = _chunked(_docs(spark, [(1, text), (2, text)])).collect()
+    h1 = sorted((r.chunk_idx, r.chunk_hash) for r in rows if r.doc_id == 1)
+    h2 = sorted((r.chunk_idx, r.chunk_hash) for r in rows if r.doc_id == 2)
+    assert h1 == h2
+
+
+def test_dedup_report_arithmetic(spark, sf_dir):
+    from cdc_stream_batch_etl_spark.text.cdchunk import chunk_dedup_report
+
+    rows = chunk_dedup_report(spark, sf_dir).collect()
+    assert rows, "sf fixture has exact-dup docs; report must be non-vacuous"
+    for r in rows:
+        assert r.n_copies >= 2
+        assert 1 <= r.n_docs <= r.n_copies
+        assert r.dup_tokens == (r.n_copies - 1) * r.n_tokens
+
+
+def test_short_documents_single_chunk(spark):
+    # shorter than the shingle: no boundary candidates, one whole chunk
+    rows = _chunked(_docs(spark, [(1, "a b"), (2, "solo")])).collect()
+    per = {r.doc_id: r for r in rows}
+    assert len(rows) == 2
+    assert per[1].n_tokens == 2 and per[1].start_tok == 1
+    assert per[2].n_tokens == 1
