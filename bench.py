@@ -289,7 +289,15 @@ HEADLINE: list[str] = [
 #: r5 21x outlier, just smaller. JVM startup stays outside every timed
 #: region, so isolation costs wall-clock but zero measured time.
 ISOLATE: frozenset[str] = frozenset(
-    {"image_phash_dedup", "image_png_roundtrip", "image_jpeg_roundtrip"}
+    {
+        "image_phash_dedup",
+        "image_png_roundtrip",
+        "image_jpeg_roundtrip",
+        # the declared-quadratic exact yardstick: 26 s mid-cohort vs
+        # 16 s fresh-JVM solo (r9 ledger close) — big enough to deserve
+        # its own JVM so it neither absorbs nor causes cohort pressure
+        "embed_near_dup_pairs",
+    }
 )
 
 
