@@ -278,6 +278,7 @@ HEADLINE: list[str] = [
     "vocab_coverage",
     "content_defined_chunks",
     "chunk_dedup_report",
+    "approx_percentile_native",
 ]
 
 

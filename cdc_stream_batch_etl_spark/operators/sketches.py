@@ -177,3 +177,41 @@ def approx_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("approx_percentile_native")
+def approx_percentile_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: Spark's NATIVE approximate percentiles
+    (approx_percentile — Greenwald-Khanna summaries, accuracy 10000)
+    next to the exact ones — completing the native-approx family
+    (approx_distinct_native's HLL++ sibling for quantiles). Registered
+    WITHOUT an oracle (registry.ROWS_ONLY): GK summary merge order is
+    engine-specific, so no SQL oracle can reproduce the estimates; the
+    rank-error gate lives in tests/test_sketches.py instead.
+
+    Scale: GK summaries are mergeable bounded-size state — map-side
+    partial, one |groups|-row shuffle; the EXACT percentile column is
+    the cross-check only (it builds a per-group value buffer and is the
+    thing you use approx to avoid at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile(
+                "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+            ).alias("approx_p50_p95"),
+            F.percentile("value", F.array(F.lit(0.5), F.lit(0.95))).alias(
+                "exact_p50_p95"
+            ),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("approx_p50_p95")[0].alias("approx_p50"),
+            F.col("approx_p50_p95")[1].alias("approx_p95"),
+            F.col("exact_p50_p95")[0].alias("exact_p50"),
+            F.col("exact_p50_p95")[1].alias("exact_p95"),
+            "n",
+        )
+        .orderBy("event_type")
+    )

@@ -34,6 +34,8 @@ ROWS_ONLY: dict[str, str] = {
     "against directly-computed zlib golden values",
     "approx_distinct_native": "Spark-native HLL++ registers are engine-specific; "
     "relative error pytest-gated against the exact distinct",
+    "approx_percentile_native": "Spark-native Greenwald-Khanna summaries are "
+    "engine-specific; rank error pytest-gated against the exact percentile",
 }
 
 
@@ -63,6 +65,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "vocab_coverage",
     "content_defined_chunks",
     "chunk_dedup_report",
+    "approx_percentile_native",
     # (a') changed in round 9 — must re-green
     "multimodal_frame_sample",
     "kmv_set_overlap",
@@ -110,7 +113,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "bpe_token_count",
     "cdc_stats",
     "cdc_stats_total",
-    "change_log",
 )
 
 

@@ -420,3 +420,46 @@ def test_native_hll_within_declared_rsd(spark, sf_dir):
         assert abs(r.approx_users - r.exact_users) <= max(
             3, 0.15 * r.exact_users
         ), (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_approx_percentile_native_rank_error(spark, sf_dir):
+    """approx_percentile_native is rows-only by design (GK summaries
+    are engine-specific); this is its accuracy contract instead: each
+    group's approximate p50/p95 must sit within 1/accuracy·n ranks of
+    the exact order statistic — checked by re-ranking the approximate
+    VALUE inside the group's actual value list (duckdb recount), the
+    definition GK guarantees, rather than comparing values (value gaps
+    can be large where the distribution is sparse)."""
+    import duckdb
+
+    from cdc_stream_batch_etl_spark.operators.sketches import (
+        approx_percentile_native,
+    )
+
+    rows = approx_percentile_native(spark, sf_dir).collect()
+    assert len(rows) > 0
+    vals = {}
+    for et, v in duckdb.sql(
+        f"""SELECT event_type, list(value ORDER BY value)
+            FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"""
+    ).fetchall():
+        vals[et] = v
+    import bisect
+
+    for r in rows:
+        v = vals[r.event_type]
+        n = len(v)
+        assert r.n == n
+        tol = max(2, n // 1000)  # accuracy=10000 ⇒ ≤ n/10000 + slack
+        for q, got in ((0.5, r.approx_p50), (0.95, r.approx_p95)):
+            target = q * (n - 1)
+            lo = bisect.bisect_left(v, got)
+            hi = bisect.bisect_right(v, got) - 1
+            rank_err = min(abs(lo - target), abs(hi - target))
+            assert rank_err <= tol, (r.event_type, q, got, rank_err, tol)
+        # exact columns must equal the interpolated order statistic
+        for q, got in ((0.5, r.exact_p50), (0.95, r.exact_p95)):
+            pos = q * (n - 1)
+            f = int(pos)
+            want = v[f] + (pos - f) * (v[min(f + 1, n - 1)] - v[f])
+            assert abs(got - want) < 1e-9, (r.event_type, q, got, want)
