@@ -188,3 +188,53 @@ def test_funnel_stream_restart_resumes_state(spark, tmp_path):
         per_user.setdefault(u, []).append((s * US, e, ty))
     want = {u: _brute_level_w(evs) for u, evs in per_user.items()}
     assert got == want, (got, want)
+
+
+def test_multichunk_group_delivery_end_to_end(spark, tmp_path):
+    """Integration twin of test_step_sorts_across_arrow_chunks: force
+    applyInPandasWithState to deliver one user's micro-batch as MULTIPLE
+    Arrow chunks (maxRecordsPerBatch=2) with file row order REVERSED, so
+    a per-chunk sort would replay clicks before views and under-level
+    the funnel. The whole-group concat+sort must still yield level 3."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    # one user, one micro-batch, 9 events: chronological order is
+    # view(1) click(2) purchase(3) ... ; file order is REVERSED so chunk
+    # boundaries (2 rows each) deliver later events first
+    chrono = [
+        (1, i + 1, _ts(10 * i), ty)
+        for i, ty in enumerate(
+            ["view", "click", "purchase"] * 3
+        )
+    ]
+    rows = list(reversed(chrono))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "b0")).schema
+            ).parquet(str(src) + "/b*")
+        )
+        q = (
+            funnel_stream(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = {r.user_id: r.funnel_level for r in spark.read.parquet(out).collect()}
+    assert got == {1: 3}, got
