@@ -314,3 +314,59 @@ def test_kmv_sketch_materializes_once(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert "Scan parquet" not in plan.split("InMemoryRelation")[0], plan
     spark.catalog.clearCache()
+
+
+def test_winnow_fingerprints_single_doc_exchange(spark, sf_dir):
+    """Winnowing is per-document window work: exactly ONE exchange
+    keys the doc_id window partitioning plus the distinct's reuse of
+    it — no join anywhere in the plan."""
+    from cdc_stream_batch_etl_spark.text.winnow import winnowed_fingerprints
+
+    plan = _plan(winnowed_fingerprints(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    # window + distinct + output sort: exchanges stay in single digits,
+    # and none of them is a corpus self-join's
+    assert plan.count("Exchange") <= 8
+
+
+def test_winnow_pairs_has_no_self_join(spark, sf_dir):
+    """The bucket-pair rewrite must keep the fp_hash self-join out of
+    the plan (it recomputed the whole fingerprint subtree per side)."""
+    from cdc_stream_batch_etl_spark.text.winnow import winnow_match_pairs
+
+    plan = _plan(winnow_match_pairs(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no join at all
+    # ONE scan of documents
+    assert plan.count("Scan parquet") == 1
+
+
+def test_cdchunk_scan_local_until_output(spark, sf_dir):
+    """Content-defined chunk extents are scan-local array work: the
+    chunk table plan has no join and no aggregate before the output
+    sort; the dedup report adds exactly one hash-agg exchange chain."""
+    from cdc_stream_batch_etl_spark.text.cdchunk import (
+        chunk_dedup_report,
+        content_defined_chunks,
+    )
+
+    plan = _plan(content_defined_chunks(spark, sf_dir), "simple")
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert plan.count("Scan parquet") == 1
+
+    rplan = _plan(chunk_dedup_report(spark, sf_dir), "simple")
+    assert "Join" not in rplan
+    assert rplan.count("Scan parquet") == 1
+
+
+def test_vocab_coverage_broadcasts_the_vocabulary(spark, sf_dir):
+    """The top-V cut must broadcast into the coverage join — the corpus
+    token table must never shuffle on the join key for it."""
+    from cdc_stream_batch_etl_spark.text.vocab import vocab_coverage
+
+    try:
+        plan = _plan(vocab_coverage(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.catalog.clearCache()
