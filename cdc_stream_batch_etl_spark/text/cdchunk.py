@@ -14,13 +14,30 @@ the property that makes chunk-level dedup work across document
 versions (storage dedup, incremental corpus refresh, CDC-side delta
 compression of document payloads).
 
-Parallel variant note: production FastCDC adds sequential min/max chunk
-bounds and a gear-rolling hash for speed; both are stream-order-stateful
-and irrelevant to WHERE the boundaries fall being content-defined. This
-spelling (pure per-position predicate, md5-derived hash) keeps the
-boundary-shift-resistance property, is embarrassingly parallel, and is
-exactly mirrorable in the DuckDB oracle. Expected chunk length = DIV
-tokens (geometric).
+Chunk-length bounds (r10): the pure ``h % DIV == 0`` predicate alone
+has an unbounded worst case — a boundary-sparse document is ONE
+whole-doc chunk (defeating sub-document dedup entirely) and a
+boundary-dense run yields 1-token confetti. FastCDC (ATC'16 §3.2)
+bounds both sides; its exact rule is stream-order-stateful (each kept
+cut depends on the previous KEPT cut), so this module uses the
+order-free variant that stays embarrassingly parallel and exactly
+mirrorable in SQL:
+
+  - MIN-suppression: a candidate cut survives iff it is ≥ CDC_MIN
+    tokens after the previous ORIGINAL candidate (doc start for the
+    first) — a per-candidate ``lag`` comparison, not a sequential scan.
+    Runs of closely-spaced candidates merge into their neighbours.
+  - MAX-split: every extent between surviving cuts longer than CDC_MAX
+    tokens is split at CDC_MAX stride from the extent start — pure
+    per-extent arithmetic. Split offsets are relative to the extent's
+    (content-defined) start, so they realign under edits exactly like
+    the content cuts do.
+
+Every final chunk is ≤ CDC_MAX tokens, hard; chunks < CDC_MIN can
+still appear only as an extent's tail remainder or a short document.
+Gear-rolling hashes are a speed detail, irrelevant to WHERE boundaries
+fall; the md5-derived predicate keeps both engines identical. Expected
+chunk length ≈ DIV tokens (geometric, truncated to [*, MAX]).
 
 Plan shape: everything before the output is SCAN-LOCAL array work on
 one row per document — boundary positions via a filter() lambda over
@@ -43,6 +60,9 @@ from ..registry import register
 #: shingle size for the boundary predicate and expected chunk length
 CDC_K = 4
 CDC_DIV = 16
+#: chunk-length bounds (FastCDC-style: MIN = avg/4, MAX = 4*avg)
+CDC_MIN = 4
+CDC_MAX = 64
 
 # 40-bit boundary hash of the K-token shingle STARTING at i (1-based)
 _BND_SPARK = (
@@ -62,23 +82,35 @@ bnd AS (
   WHERE CAST(('0x' || substr(md5(array_to_string(t.words[b.i : b.i + {CDC_K - 1}], ' ')), 1, 10)) AS BIGINT)
         % {CDC_DIV} = 0
 ),
+kept AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           lag(i, 1, 1) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM bnd
+  ) WHERE i - prev >= {CDC_MIN}
+),
 cuts AS (
-  SELECT doc_id, i FROM bnd
+  SELECT doc_id, i FROM kept
   UNION ALL SELECT doc_id, 1 FROM toks
   UNION ALL SELECT doc_id, n + 1 FROM toks
 ),
 extents AS (
   SELECT doc_id, i AS start_tok,
-         lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS next_cut,
-         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx
+         lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS next_cut
   FROM cuts
 ),
+subext AS (
+  SELECT e.doc_id, s.s AS start_tok,
+         least({CDC_MAX}, e.next_cut - s.s) AS n_tokens
+  FROM (SELECT * FROM extents WHERE next_cut IS NOT NULL) e,
+       LATERAL unnest(generate_series(e.start_tok, e.next_cut - 1, {CDC_MAX})) s(s)
+),
 chunks AS (
-  SELECT e.doc_id, e.chunk_idx, e.start_tok,
-         e.next_cut - e.start_tok AS n_tokens,
-         {hash64_sql(f"array_to_string(t.words[e.start_tok : e.next_cut - 1], ' ')")} AS chunk_hash
-  FROM extents e JOIN toks t USING (doc_id)
-  WHERE e.next_cut IS NOT NULL
+  SELECT x.doc_id,
+         row_number() OVER (PARTITION BY x.doc_id ORDER BY x.start_tok) - 1 AS chunk_idx,
+         x.start_tok, x.n_tokens,
+         {hash64_sql(f"array_to_string(t.words[x.start_tok : x.start_tok + x.n_tokens - 1], ' ')")} AS chunk_hash
+  FROM subext x JOIN toks t USING (doc_id)
 )
 """
 
@@ -96,34 +128,50 @@ ORDER BY doc_id, chunk_idx
 
 def _chunked(docs: DataFrame) -> DataFrame:
     """(doc_id, chunk_idx, start_tok, n_tokens, chunk_hash) — scan-local
-    per-document content-defined chunk table."""
-    # boundary cut positions i ∈ [2, n_shingles], kept iff the shingle
-    # hash divides; cuts = [1] ∪ boundaries ∪ [n+1]; guarded so the
-    # degenerate short-doc sequence() can't run descending
-    cuts = F.expr(
-        f"concat(array(1), "
+    per-document content-defined chunk table with [*, CDC_MAX] bounds."""
+    # candidate cut positions i ∈ [2, n_shingles], kept iff the shingle
+    # hash divides; guarded so the degenerate short-doc sequence()
+    # can't run descending
+    cand = F.expr(
         f"case when size(words) - {CDC_K} + 1 >= 2 then "
         f"filter(sequence(2, size(words) - {CDC_K} + 1), i -> {_BND_SPARK}) "
-        f"else array() end, "
-        f"array(size(words) + 1))"
+        f"else array() end"
     )
+    # MIN-suppression against the previous ORIGINAL candidate (doc
+    # start for the first) — indexed filter lambda, the array-side
+    # spelling of the oracle's lag(i, 1, 1) comparison
+    kept = F.expr(
+        f"filter(cand, (x, j) -> "
+        f"x - if(j = 0, 1, element_at(cand, j)) >= {CDC_MIN})"
+    )
+    # cuts = [1] ∪ kept ∪ [n+1]; extents between consecutive cuts, each
+    # MAX-split at CDC_MAX stride from its own start — still one
+    # scan-local array program
     extents = F.expr(
-        "transform(sequence(1, size(cuts) - 1), "
-        "j -> struct(j - 1 AS chunk_idx, element_at(cuts, j) AS start_tok, "
-        "element_at(cuts, j + 1) - element_at(cuts, j) AS n_tokens))"
+        f"flatten(transform(sequence(1, size(cuts) - 1), "
+        f"j -> transform("
+        f"sequence(element_at(cuts, j), element_at(cuts, j + 1) - 1, {CDC_MAX}), "
+        f"s -> struct(s AS start_tok, "
+        f"least({CDC_MAX}, element_at(cuts, j + 1) - s) AS n_tokens))))"
     )
     return (
         docs.select(
             "doc_id", F.split(F.col("text"), " ").alias("words")
         )
-        .withColumn("cuts", cuts)
-        # explode extents FIRST (projection barrier): the slice below
+        .withColumn("cand", cand)
+        .withColumn("kept", kept)
+        .withColumn(
+            "cuts",
+            F.expr("concat(array(1), kept, array(size(words) + 1))"),
+        )
+        # posexplode extents FIRST (projection barrier): the slice below
         # reads `words` as a materialized attribute — the doc_chunks
-        # linearity rule
-        .select("doc_id", "words", F.explode(extents).alias("e"))
+        # linearity rule; extents are built in start order, so the
+        # explode ordinal IS chunk_idx
+        .select("doc_id", "words", F.posexplode(extents).alias("chunk_idx", "e"))
         .select(
             "doc_id",
-            F.col("e.chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
             F.col("e.start_tok").cast("bigint").alias("start_tok"),
             F.col("e.n_tokens").cast("bigint").alias("n_tokens"),
             F.expr(hash64_expr("array_join(slice(words, e.start_tok, e.n_tokens), ' ')")).alias(
@@ -136,9 +184,9 @@ def _chunked(docs: DataFrame) -> DataFrame:
 @register("content_defined_chunks", oracle=_CDC_ORACLE)
 def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document content-defined chunk table (K=4 shingle boundary
-    predicate, expected chunk ≈ DIV=16 tokens): chunk extents + the
-    60-bit content hash that stays stable under edits elsewhere in the
-    document."""
+    predicate, expected chunk ≈ DIV=16 tokens, MIN-suppressed and
+    hard-capped at MAX=64): chunk extents + the 60-bit content hash
+    that stays stable under edits elsewhere in the document."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _chunked(docs).orderBy("doc_id", "chunk_idx")
 

@@ -5,11 +5,41 @@ arithmetic."""
 
 from pyspark.sql import functions as F
 
+import hashlib
+
 from cdc_stream_batch_etl_spark.text.cdchunk import (
     CDC_DIV,
     CDC_K,
+    CDC_MAX,
+    CDC_MIN,
     _chunked,
 )
+
+
+def _py_candidates(toks):
+    """Candidate content cuts, independently of Spark/DuckDB."""
+    out = []
+    for i in range(2, len(toks) - CDC_K + 2):  # 1-based cut positions
+        h = int(hashlib.md5(" ".join(toks[i - 1 : i - 1 + CDC_K]).encode()).hexdigest()[:10], 16)
+        if h % CDC_DIV == 0:
+            out.append(i)
+    return out
+
+
+def _py_chunks(toks):
+    """Pure-Python reference of the full rule: candidates →
+    MIN-suppression vs previous ORIGINAL candidate → MAX-split."""
+    cand = _py_candidates(toks)
+    kept = [c for j, c in enumerate(cand) if c - (1 if j == 0 else cand[j - 1]) >= CDC_MIN]
+    cuts = [1] + kept + [len(toks) + 1]
+    chunks = []
+    for a, b in zip(cuts, cuts[1:]):
+        s = a
+        while s < b:
+            n = min(CDC_MAX, b - s)
+            chunks.append((len(chunks), s, n, " ".join(toks[s - 1 : s - 1 + n])))
+            s += n
+    return chunks
 
 
 def _docs(spark, rows):
@@ -85,6 +115,63 @@ def test_dedup_report_arithmetic(spark, sf_dir):
         assert r.n_copies >= 2
         assert 1 <= r.n_docs <= r.n_copies
         assert r.dup_tokens == (r.n_copies - 1) * r.n_tokens
+
+
+def test_boundary_free_document_is_max_split(spark):
+    """The r10 planted worst case: a document whose content predicate
+    never fires used to come back as ONE whole-doc chunk (no sub-doc
+    dedup possible). The MAX-split must bound every chunk at CDC_MAX."""
+    # a single repeated token has one distinct shingle; pick one whose
+    # hash does NOT divide, so the doc is provably boundary-free
+    tok = next(
+        t
+        for t in "abcdefghijklmnop"
+        if int(hashlib.md5((" ".join([t] * CDC_K)).encode()).hexdigest()[:10], 16)
+        % CDC_DIV
+        != 0
+    )
+    n = 200
+    rows = sorted(
+        _chunked(_docs(spark, [(1, " ".join([tok] * n))])).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert len(rows) == -(-n // CDC_MAX)  # ceil(200/64) = 4
+    assert all(r.n_tokens <= CDC_MAX for r in rows)
+    assert [r.start_tok for r in rows] == list(range(1, n + 1, CDC_MAX))
+
+
+def test_bounds_match_python_reference(spark):
+    """Full-rule parity vs an independent reference on a document that
+    exercises BOTH bounds: a varied head (content cuts, some < MIN
+    apart), a long repeated run (boundary-free → forced MAX splits),
+    and a varied tail."""
+    rep = next(
+        t
+        for t in "abcdefghijklmnop"
+        if int(hashlib.md5((" ".join([t] * CDC_K)).encode()).hexdigest()[:10], 16)
+        % CDC_DIV
+        != 0
+    )
+    toks = (
+        [f"w{(i * 37) % 101}q{i % 13}" for i in range(500)]
+        + [rep] * 150
+        + [f"z{(i * 53) % 89}" for i in range(200)]
+    )
+    ref = _py_chunks(toks)
+    # the fixture must actually exercise both rules
+    cand = _py_candidates(toks)
+    assert any(
+        c - (1 if j == 0 else cand[j - 1]) < CDC_MIN for j, c in enumerate(cand)
+    ), "fixture has no MIN-suppressed candidate — make the head longer"
+    assert any(n == CDC_MAX for _, _, n, _ in ref), "fixture forces no MAX split"
+    rows = sorted(
+        _chunked(_docs(spark, [(1, " ".join(toks))])).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in rows] == [
+        (i, s, n) for i, s, n, _ in ref
+    ]
+    assert all(r.n_tokens <= CDC_MAX for r in rows)
 
 
 def test_short_documents_single_chunk(spark):

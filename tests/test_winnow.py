@@ -86,6 +86,56 @@ def test_rightmost_tiebreak(spark):
     assert {r.fp_pos for r in rows} == want
 
 
+def _python_winnow(tokens):
+    """Independent reference: the paper's algorithm verbatim — window
+    min over the 40-bit shingle hashes, rightmost tie-break — with a
+    monotonic deque, no packing, no segmentation."""
+    import hashlib
+    from collections import deque
+
+    n_sh = len(tokens) - WINNOW_K + 1
+    hashes = [
+        int(
+            hashlib.md5(" ".join(tokens[i : i + WINNOW_K]).encode()).hexdigest()[:10],
+            16,
+        )
+        for i in range(n_sh)
+    ]
+    sel = set()
+    dq = deque()  # positions, hashes increasing; ties keep the RIGHT one
+    for i in range(n_sh):
+        while dq and hashes[dq[-1]] >= hashes[i]:
+            dq.pop()
+        dq.append(i)
+        start = i - WINNOW_W + 1
+        if dq[0] < start:
+            dq.popleft()
+        if start >= 0:
+            sel.add((dq[0], hashes[dq[0]]))
+    return sel
+
+
+def test_long_document_crosses_segment_boundary(spark):
+    """The r9 latent defect: a document with more than 2^20 shingles
+    used to underflow the packed 20-bit position complement, silently
+    and identically in both engines. The segment-local layout must make
+    winnowing exact for unbounded length — verified here against an
+    independent pure-Python reference on a doc that spans the _SEG
+    boundary (so both the replicated overlap rows and the global
+    position decode are exercised)."""
+    from cdc_stream_batch_etl_spark.text.winnow import _SEG
+
+    n_tokens = _SEG + 2000 + WINNOW_K - 1  # n_shingles = _SEG + 2000 > 2^20 - W
+    tokens = [f"t{i % 251}v{i % 97}" for i in range(n_tokens)]
+    expected = _python_winnow(tokens)
+    rows = _fingerprints(_docs(spark, [(1, " ".join(tokens))])).collect()
+    got = {(r.fp_pos, r.fp_hash) for r in rows}
+    # exact equality: selections on both sides of the segment boundary,
+    # decoded to global positions, match the unsegmented reference
+    assert got == expected
+    assert max(p for p, _ in got) >= _SEG, "no selection beyond the boundary"
+
+
 def test_match_pairs_finds_planted_passage(spark, sf_dir, tmp_path):
     """Plant two documents sharing a long passage into a copy of the
     real documents table: winnow_match_pairs must surface exactly that
