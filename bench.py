@@ -279,6 +279,8 @@ HEADLINE: list[str] = [
     "content_defined_chunks",
     "chunk_dedup_report",
     "approx_percentile_native",
+    # round 10: new operators
+    "chunk_dedup_ledger",
 ]
 
 

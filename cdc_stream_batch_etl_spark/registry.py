@@ -48,71 +48,72 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r9 window: (a) first rows for the five queries NEW this round
-#: (winnowing fingerprints/matches, vocab coverage, content-defined
-#: chunking ×2); (a') re-rows for
-#: the two whose plan or oracle CHANGED — multimodal_frame_sample
-#: (real MJPEG-in-AVI container parse replaces the digest-only
-#: fan-out) and kmv_set_overlap (union exactness now keyed on the
-#: pre-truncation merged count m_full); (b) the two change-sensitive
-#: sentinels; (c) staleness rotation — the greens whose last driver
-#: row is oldest (the r3/r4 cohorts + the earliest r5s), keeping every
-#: query's most recent driver check ≤ ~5 rounds old.
+#: r10 window: (a) first row for the query NEW this round
+#: (chunk_dedup_ledger — the per-document chunk-rewrite plan); (a')
+#: re-rows for the four whose plan AND oracle changed —
+#: winnowed_fingerprints / winnow_match_pairs (segment-local packed
+#: positions: exact for unbounded document length) and
+#: content_defined_chunks / chunk_dedup_report (FastCDC MIN/MAX chunk
+#: bounds); (b) the two change-sensitive sentinels; (c) staleness
+#: rotation — the full 42-query r5 cohort (now the oldest driver rows)
+#: plus one r6 query, keeping every query's most recent driver check
+#: ≤ 5 rounds old.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) NEW in round 9 — first driver rows
+    # (a) NEW in round 10 — first driver row
+    "chunk_dedup_ledger",
+    # (a') changed in round 10 — must re-green
     "winnowed_fingerprints",
     "winnow_match_pairs",
-    "vocab_coverage",
     "content_defined_chunks",
     "chunk_dedup_report",
-    "approx_percentile_native",
-    # (a') changed in round 9 — must re-green
-    "multimodal_frame_sample",
-    "kmv_set_overlap",
     # (b) change-sensitive sentinels
     "customer_segments",
     "curated_training_set",
-    # (c) rotation: oldest driver rows first (r3 cohort, then r4, r5)
-    "ann_lsh_topk",
-    "span_dedup_coverage",
-    "stratified_sample",
-    "term_postings",
-    "tfidf_top_terms",
-    "train_test_split",
-    "alerts_summary",
-    "anomaly_bulk_events",
-    "anomaly_geo_concentration",
-    "anomaly_high_value",
-    "anomaly_velocity",
-    "bitwise_region_filter",
-    "category_distribution",
-    "customer_order_gaps",
-    "customer_spend_running",
-    "daily_revenue_rolling7",
-    "daily_rollup",
-    "disjunctive_filter",
-    "event_op_filter",
-    "geo_distribution",
-    "minute_metrics",
-    "price_deciles",
-    "product_velocity",
-    "random_pick",
-    "region_rollup",
-    "scd2_history",
-    "segment_histogram",
-    "small_order_filter",
-    "stock_status_histogram",
-    "supplier_rollup",
-    "time_range_filter",
-    "top_parts_per_brand",
-    "user_activity",
-    "user_sessions",
-    "active_customer_profile",
-    "asof_purchase_attribution",
-    "basket_rules",
-    "bpe_token_count",
-    "cdc_stats",
-    "cdc_stats_total",
+    # (c) rotation: the r5 cohort — oldest driver rows
+    "change_log",
+    "churned_customers_yoy",
+    "clean_corpus",
+    "cluster_representatives",
+    "compression_gate",
+    "conversion_funnel",
+    "copurchase_pairs",
+    "corpus_gate_funnel",
+    "customer_order_sets",
+    "customers_without_orders",
+    "dedup_components",
+    "dsir_importance",
+    "dup_cluster_stats",
+    "embedding_outliers",
+    "entity_lifecycle",
+    "entity_running_totals",
+    "incremental_dedup",
+    "latest_state",
+    "lsh_bucket_stats",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multimodal_audio_stats",
+    "ngram_jaccard_pairs",
+    "order_analytics",
+    "order_priority_pivot",
+    "order_status_rollup",
+    "order_status_rollup_cube",
+    "parts_never_sold",
+    "pipeline_health",
+    "pricing_summary",
+    "product_insights",
+    "purchase_context_window",
+    "quality_classifier",
+    "repeat_customers_yoy",
+    "retention_cohorts",
+    "revenue_analytics",
+    "running_revenue",
+    "semantic_cell_stats",
+    "semantic_dedup",
+    "shard_manifest",
+    "source_semantic_diversity",
+    "text_normalize",
+    # one r6 query fills slot 50
+    "promo_revenue_share",
 )
 
 
@@ -151,11 +152,16 @@ def load_all() -> None:
               queries first, every changed oracle/plan second, sentinels
               third, then staleness rotation (the r3-cohort greens
               re-verified). 50/50 green.
-      r9 (now) — same maintenance shape: the five new operators
+      r9  — same maintenance shape: the five new operators
               (winnowing ×2, vocab coverage, content-defined chunking
               ×2), the two changed plans
               (multimodal_frame_sample real-AVI rewrite, kmv_set_overlap
               m_full rule), sentinels, then the r3/r4-cohort rotation.
+              50/50 green.
+      r10 (now) — chunk_dedup_ledger first (new), the four winnow/cdchunk
+              queries whose plan+oracle changed (segment-local winnowing
+              positions; FastCDC chunk bounds), sentinels, then the full
+              r5 cohort (the oldest rows after r9's rotation).
     """
     # --- NEW in round 6: first driver rows this round (positions 1-8) ---
     from .operators import tpch2  # noqa: F401  promo_revenue_share, min_cost_supplier, customer_reach

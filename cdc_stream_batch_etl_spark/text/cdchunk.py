@@ -50,7 +50,7 @@ hash-agg on the 60-bit chunk hash. 100 TB-safe by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -224,4 +224,96 @@ def chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
         .orderBy(F.desc("n_copies"), "chunk_hash")
+    )
+
+
+_LEDGER_ORACLE = f"""
+WITH {_CHUNKS_CTE},
+occ AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (PARTITION BY chunk_hash
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+         CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS reclaim_tokens
+  FROM occ GROUP BY doc_id
+),
+exact AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+           AS removed_exact
+  FROM documents
+)
+SELECT p.doc_id, p.n_chunks, p.total_tokens, p.dup_chunks, p.reclaim_tokens,
+       e.removed_exact,
+       CAST(p.reclaim_tokens AS DOUBLE) / p.total_tokens AS reclaim_ratio
+FROM per_doc p JOIN exact e USING (doc_id)
+ORDER BY reclaim_tokens DESC, doc_id
+"""
+
+
+@register("chunk_dedup_ledger", oracle=_LEDGER_ORACLE)
+def chunk_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document chunk-dedup rewrite plan — the operator a storage-
+    dedup user actually runs (dedup/ledger.py's attribution pattern
+    applied at sub-document granularity): chunk_dedup_report says WHAT
+    is duplicated; this says WHICH documents to rewrite and what each
+    rewrite saves.
+
+    Convention: the globally first occurrence of each chunk hash (min
+    (doc_id, chunk_idx)) is canonical; every later occurrence is
+    reclaimable. ``removed_exact`` flags documents the exact-dup rung
+    (dedup/exact.py digest convention) removes wholesale BEFORE any
+    chunk rewrite — for those the reclaim numbers are attribution, not
+    a rewrite plan.
+
+    Scale: the chunk table's scan-local cost + one window on the
+    near-uniform 60-bit chunk hash + one doc_id hash-agg + the exact
+    rung's digest window — no new quadratic or skew surface; at 100 TB
+    the chunk table would be materialized once by the runner and this
+    becomes the pure post-pass (the dedup_ledger "(sourced)" pattern)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = _chunked(docs).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+        ),
+    )
+    per_doc = occ.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum((F.col("rn") > 1).cast("bigint")).alias("dup_chunks"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("reclaim_tokens"),
+    )
+    exact = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("_digest")
+    ).select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("_digest"))
+        ).alias("removed_exact"),
+    )
+    return (
+        per_doc.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "total_tokens",
+            "dup_chunks",
+            "reclaim_tokens",
+            "removed_exact",
+            # ONE IEEE division of exact integers (the davg pattern)
+            (F.col("reclaim_tokens") / F.col("total_tokens")).alias(
+                "reclaim_ratio"
+            ),
+        )
+        .orderBy(F.desc("reclaim_tokens"), "doc_id")
     )

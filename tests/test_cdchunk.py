@@ -174,6 +174,62 @@ def test_bounds_match_python_reference(spark):
     assert all(r.n_tokens <= CDC_MAX for r in rows)
 
 
+def test_chunk_ledger_composes_with_report(spark, sf_dir, tmp_path):
+    """The ledger's per-document reclaim must total the report's
+    corpus-wide dup_tokens (same canonical-first convention), and a
+    planted exact-dup document's reclaim must cover all its chunks."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_stream_batch_etl_spark.text.cdchunk import (
+        chunk_dedup_ledger,
+        chunk_dedup_report,
+    )
+
+    # plant one byte-identical copy of an existing document (the sf
+    # fixtures have chunk-level dups but no whole-doc exact dups)
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    first = {c: src.column(c)[0].as_py() for c in cols}
+    extra = pa.table(
+        {
+            "doc_id": pa.array([9_000_001], pa.int64()),
+            "text": pa.array([first["text"]], pa.string()),
+            "lang": pa.array([first["lang"]], pa.string()),
+            "source": pa.array([first["source"]], pa.string()),
+            "n_chars": pa.array([first["n_chars"]], pa.int64()),
+        }
+    )
+    planted_dir = tmp_path / "planted"
+    planted_dir.mkdir()
+    pq.write_table(
+        pa.concat_tables([src.select(cols), extra]),
+        str(planted_dir / "documents.parquet"),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", planted_dir / f"{t}.parquet")
+
+    ledger = chunk_dedup_ledger(spark, str(planted_dir)).collect()
+    report = chunk_dedup_report(spark, str(planted_dir)).collect()
+    assert sum(r.reclaim_tokens for r in ledger) == sum(
+        r.dup_tokens for r in report
+    )
+    for r in ledger:
+        assert 0 <= r.dup_chunks <= r.n_chunks
+        assert 0 <= r.reclaim_tokens <= r.total_tokens
+        assert abs(r.reclaim_ratio - r.reclaim_tokens / r.total_tokens) < 1e-12
+    # the planted copy is an exact dup: every chunk already exists in
+    # its lower-doc_id twin, so the whole document is reclaimable
+    by_id = {r.doc_id: r for r in ledger}
+    planted = by_id[9_000_001]
+    assert planted.removed_exact
+    assert planted.reclaim_tokens == planted.total_tokens
+    assert planted.dup_chunks == planted.n_chunks
+
+
 def test_short_documents_single_chunk(spark):
     # shorter than the shingle: no boundary candidates, one whole chunk
     rows = _chunked(_docs(spark, [(1, "a b"), (2, "solo")])).collect()
