@@ -12,6 +12,8 @@ pruning for free; at 100 TB the same call points at a partitioned table
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import pin_session_for_correctness
@@ -189,6 +191,85 @@ def write_zorder(
     )
 
 
+#: manifest pointer file name — the ONLY mutable piece of a compacted
+#: table; its content is the active version directory name (``_vN``)
+_POINTER = "_CURRENT"
+_VERSION_RE = re.compile(r"^_v(\d+)$")
+
+
+def _hadoop(spark: SparkSession, path: str):
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    p = Path(path)
+    return Path, p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _read_pointer(spark: SparkSession, path: str) -> str | None:
+    """The active version dir name, or None for a legacy plain table."""
+    Path, _, fs = _hadoop(spark, path)
+    ptr = Path(path.rstrip("/") + "/" + _POINTER)
+    if not fs.exists(ptr):
+        return None
+    reader = spark._jvm.java.io.BufferedReader(
+        spark._jvm.java.io.InputStreamReader(fs.open(ptr), "UTF-8")
+    )
+    try:
+        line = reader.readLine()
+    finally:
+        reader.close()
+    name = (line or "").strip()
+    return name if _VERSION_RE.match(name) else None
+
+
+def _write_pointer(spark: SparkSession, path: str, version: str) -> None:
+    """Atomic pointer flip: write a tmp file, FileContext-rename it over
+    _CURRENT with OVERWRITE (atomic on HDFS and local FS — unlike
+    FileSystem.rename, which refuses an existing destination)."""
+    Path, _, fs = _hadoop(spark, path)
+    root = path.rstrip("/")
+    tmp = Path(root + "/._CURRENT.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(version.encode("utf-8")))
+    finally:
+        out.close()
+    jvm = spark._jvm
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark._jsc.hadoopConfiguration()
+    )
+    # Rename.OVERWRITE is a Java vararg — py4j needs an explicit array
+    rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(rename_cls, 1)
+    opts[0] = rename_cls.OVERWRITE
+    fc.rename(tmp, Path(root + "/" + _POINTER), opts)
+
+
+def resolve_table_path(spark: SparkSession, path: str) -> str:
+    """The directory a reader should scan: ``path/_vN`` when the manifest
+    pointer exists, else ``path`` itself (legacy plain table). Fail-open:
+    a pointer naming a missing dir falls back to ``path``."""
+    version = _read_pointer(spark, path)
+    if version is None:
+        return path
+    Path, _, fs = _hadoop(spark, path)
+    vdir = path.rstrip("/") + "/" + version
+    return vdir if fs.exists(Path(vdir)) else path
+
+
+def load_versioned(spark: SparkSession, path: str) -> DataFrame:
+    """Reader for compaction-managed tables: resolve the manifest
+    pointer, scan, and re-resolve + retry ONCE if the resolved version
+    was retired mid-read (a reader survives one concurrent compaction by
+    the retain-previous rule; surviving two needs this re-resolve)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(resolve_table_path(spark, path))
+        df.schema  # force resolution now, while the version is live
+        return df
+    except AnalysisException:
+        return spark.read.parquet(resolve_table_path(spark, path))
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -216,17 +297,26 @@ def compact_partitions(
     Returns {"files_before", "files_after", "bytes"} for the caller's
     maintenance log.
 
-    Durability: the data is written ONCE (to a sibling tmp dir), then
-    swapped in via two FileSystem.renames (each atomic on HDFS and
-    local FS). Between rename(dst→__precompact) and rename(tmp→dst)
-    there is a small crash window where NO table exists at `path`;
-    the next compact_partitions run auto-recovers by renaming
-    __precompact back to dst before anything else, so a crash leaves
-    the old table, the new one, or a state the next run restores —
-    never an unrecoverable gap. The old dir is deleted last and tmp
-    is cleaned up in a finally. On object stores (S3A) rename is
-    copy+delete, not atomic — pair compaction there with a manifest
-    commit (Iceberg/Delta) instead of relying on directory swap.
+    Durability — manifest-pointer commit (r10, replacing the r9
+    two-rename swap whose crash window left NO table at `path`): the
+    compacted data is written ONCE to a fresh VERSION directory
+    ``path/_vN`` (underscore-prefixed, so plain parquet readers never
+    see it), then the ``_CURRENT`` pointer file is atomically replaced
+    to name it. Readers (``load_versioned`` / ``resolve_table_path``)
+    follow the pointer; at every instant the pointer names a complete,
+    immutable version, so a concurrent reader can never observe a
+    missing or half-written table. The PREVIOUS version is retained
+    through one compaction (deleted only by the next one), so an
+    in-flight scan that resolved before the flip finishes cleanly;
+    a reader older than two compactions re-resolves and retries once
+    (load_versioned). Crash anywhere = pointer still names the old
+    complete version; unreferenced version dirs and pointer tmp files
+    are swept as debris on the next run. Works unchanged on object
+    stores (S3A): the only rename is the single pointer file, and
+    readers never depend on directory-rename atomicity. Legacy plain
+    tables migrate on first compaction (their root files act as the
+    implicit previous version); legacy ``__precompact`` crash debris
+    from the r9 scheme is still auto-restored.
 
     Byte budget with hive partitioning: a repartition on the partition
     columns alone would put each hive partition in ONE task → one file
@@ -240,29 +330,56 @@ def compact_partitions(
     """
     from pyspark.sql import functions as F
 
-    Path = spark._jvm.org.apache.hadoop.fs.Path
-    dst = Path(path)
-    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = path.rstrip("/") + "__compacting"
-    old = path.rstrip("/") + "__precompact"
-    tmp_p, old_p = Path(tmp), Path(old)
-    # crash-window auto-recovery: a previous run that died between
-    # rename(dst→__precompact) and rename(tmp→dst) left NO table at
-    # `path` but a complete copy at __precompact — restore it BEFORE
-    # the debris sweep (which would otherwise delete the only copy)
+    Path, dst, fs = _hadoop(spark, path)
+    root = path.rstrip("/")
+    old_p = Path(root + "__precompact")
+    # legacy (r9 scheme) crash-window auto-recovery: a run that died
+    # between rename(dst→__precompact) and rename(tmp→dst) left NO
+    # table at `path` but a complete copy at __precompact — restore it
+    # BEFORE anything else
     if not fs.exists(dst) and fs.exists(old_p):
         if not fs.rename(old_p, dst):
             raise IOError(
-                f"compact_partitions: could not restore {old} to {path}"
+                f"compact_partitions: could not restore {root}__precompact to {path}"
             )
-    total_bytes = fs.getContentSummary(dst).getLength()
-    files_before = len(spark.read.parquet(path).inputFiles())
-    n_files = max(1, -(-total_bytes // target_bytes))
 
-    df = spark.read.parquet(path)
-    for stale in (tmp_p, old_p):  # debris from a previously crashed run
+    prev_version = _read_pointer(spark, path)
+    src = root + "/" + prev_version if prev_version is not None else path
+    next_n = (
+        int(_VERSION_RE.match(prev_version).group(1)) + 1
+        if prev_version is not None
+        else 2  # the legacy root files are the implicit _v1
+    )
+    new_version = f"_v{next_n}"
+    tmp = root + "/" + new_version
+
+    # debris sweep: legacy sibling dirs from the r9 scheme, pointer tmp
+    # files, and version dirs NEWER than the committed pointer (crashed
+    # uncommitted writes). Retirement of SUPERSEDED versions happens
+    # post-flip instead (below): sweeping them here would give an
+    # in-flight reader ~zero grace when compactions run back-to-back —
+    # post-flip, a superseded version survives through the entire next
+    # compaction's write.
+    prev_n = (
+        int(_VERSION_RE.match(prev_version).group(1))
+        if prev_version is not None
+        else 1
+    )
+    for stale in (Path(root + "__compacting"), old_p, Path(root + "/._CURRENT.tmp")):
         if fs.exists(stale):
             fs.delete(stale, True)
+    for status in fs.listStatus(dst):
+        name = status.getPath().getName()
+        m = _VERSION_RE.match(name)
+        if m and int(m.group(1)) > prev_n:
+            fs.delete(status.getPath(), True)
+
+    src_p = Path(src)
+    total_bytes = fs.getContentSummary(src_p).getLength()
+    files_before = len(spark.read.parquet(src).inputFiles())
+    n_files = max(1, -(-total_bytes // target_bytes))
+
+    df = spark.read.parquet(src)
     try:
         if partition_cols:
             # per-hive-partition byte sizes from footer metadata only
@@ -294,11 +411,17 @@ def compact_partitions(
             )
             # explicit partition count = total budgeted file count, and
             # RANGE partitioning so distinct (partition, salt) groups
-            # land in distinct tasks — a plain hash repartition at the
-            # default shuffle count lets groups collide into one task,
-            # writing a single over-budget file per directory. per_part
-            # is footer-priced and hive-partition-sized, so the count
-            # aggregation is a cheap scalar.
+            # spread across distinct tasks — best-effort, not a hard
+            # guarantee: RangePartitioner samples its boundaries, so
+            # two adjacent groups can still share a task (one
+            # over-budget file per directory remains possible in the
+            # tail). A plain hash repartition at the default shuffle
+            # count is strictly worse (arbitrary group collisions); an
+            # exact one-group-per-task assignment would need a dense
+            # rank over (partition_cols, _salt), a second shuffle this
+            # maintenance pass doesn't earn. per_part is footer-priced
+            # and hive-partition-sized, so the count aggregation is a
+            # cheap scalar.
             n_total = int(
                 per_part.agg(F.sum("_nf").cast("bigint")).collect()[0][0]
                 or 0
@@ -314,16 +437,28 @@ def compact_partitions(
             )
         else:
             df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
-        if not fs.rename(dst, old_p):
-            raise IOError(f"compact_partitions: could not move {path} aside")
-        if not fs.rename(tmp_p, dst):
-            fs.rename(old_p, dst)  # roll back to the original table
-            raise IOError(f"compact_partitions: could not install {tmp} at {path}")
-        fs.delete(old_p, True)
-    finally:
-        if fs.exists(tmp_p):
-            fs.delete(tmp_p, True)
-    files_after = len(spark.read.parquet(path).inputFiles())
+    except BaseException:
+        # a failed write leaves only an uncommitted version dir; remove
+        # it so the table state is exactly what the pointer says
+        if fs.exists(Path(tmp)):
+            fs.delete(Path(tmp), True)
+        raise
+    # THE commit: one atomic pointer replacement. Readers either still
+    # see the previous version (retained) or the new one — never a gap.
+    _write_pointer(spark, path, new_version)
+    # post-flip retirement: versions at least two generations old (and,
+    # once any version dir has itself been superseded, the legacy root
+    # files — the implicit _v1). Each version therefore lives from its
+    # commit until the END of the next-but-one compaction, giving every
+    # in-flight reader at least one full compaction's write time.
+    for status in fs.listStatus(dst):
+        name = status.getPath().getName()
+        m = _VERSION_RE.match(name)
+        if m and int(m.group(1)) <= next_n - 2:
+            fs.delete(status.getPath(), True)
+        elif next_n >= 3 and not name.startswith(("_", ".")):
+            fs.delete(status.getPath(), True)
+    files_after = len(spark.read.parquet(resolve_table_path(spark, path)).inputFiles())
     return {
         "files_before": files_before,
         "files_after": files_after,
