@@ -38,6 +38,8 @@ def get_spark(
     )
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
 
+    state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs").lower()
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -51,11 +53,52 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: Spark's bundled RocksDB state store — the >JVM-heap streaming-state
+#: path. The default HDFS-backed provider keeps every store's working
+#: set on-heap; at 100 TB-scale state (e.g. W10's latest-state cache,
+#: hash-bucketed at 4096 × ~25 GB, streaming/cdc_stream.py) that heap
+#: residency is the bottleneck, while RocksDB keeps state off-heap on
+#: local SSD with the same checkpoint contract.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> None:
+    """Switch the streaming state store provider for queries STARTED
+    after this call (the provider is fixed per query at start and
+    recorded in its checkpoint — restart a query to migrate it).
+
+    Changelog checkpointing is enabled with RocksDB: per-batch uploads
+    become the key delta instead of full SST snapshots, which is the
+    difference between O(changed keys) and O(store size) commit cost on
+    large stores. Env default: SPARK_GRAFT_STATE_STORE=rocksdb makes
+    get_spark sessions start with it on."""
+    if enabled:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
 
 
 def pin_session_for_correctness(spark: SparkSession) -> None:

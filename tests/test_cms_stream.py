@@ -67,7 +67,7 @@ def test_cms_stream_final_equals_batch(spark, sf_dir, tmp_path):
     assert stream_final == batch
 
 
-def test_cms_stream_restart_resumes_counters(spark, sf_dir, tmp_path):
+def test_cms_stream_restart_resumes_counters(spark, sf_dir, tmp_path, state_provider):
     """Counters are NOT idempotent under replay — this asserts the
     checkpointed offset log prevents double counting across a
     kill-restart."""
@@ -90,3 +90,6 @@ def test_cms_stream_restart_resumes_counters(spark, sf_dir, tmp_path):
         for r in countmin_sketch(spark, sf_dir).collect()
     }
     assert stream_final == batch
+    from tests.conftest import assert_state_provider_engaged
+
+    assert_state_provider_engaged(ckpt, state_provider)

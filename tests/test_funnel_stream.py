@@ -135,7 +135,7 @@ def test_step_sorts_across_arrow_chunks():
     )
 
 
-def test_funnel_stream_restart_resumes_state(spark, tmp_path):
+def test_funnel_stream_restart_resumes_state(spark, tmp_path, state_provider):
     """Checkpoint-kill-restart: stop after the first two files, restart
     on the same checkpoint with the third — chains whose final step
     arrives AFTER the restart must still complete (state survives), and
@@ -188,6 +188,9 @@ def test_funnel_stream_restart_resumes_state(spark, tmp_path):
         per_user.setdefault(u, []).append((s * US, e, ty))
     want = {u: _brute_level_w(evs) for u, evs in per_user.items()}
     assert got == want, (got, want)
+    from tests.conftest import assert_state_provider_engaged
+
+    assert_state_provider_engaged(ckpt, state_provider)
 
 
 def test_multichunk_group_delivery_end_to_end(spark, tmp_path):

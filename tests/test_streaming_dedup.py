@@ -64,9 +64,13 @@ def _run_to_memory(spark, stream_df, name):
 
 
 @pytest.mark.parametrize("variant", [dedup_stream, dedup_stream_exact])
-def test_stream_dedup_matches_batch_twin(spark, tmp_path, doc_batches, variant):
+def test_stream_dedup_matches_batch_twin(
+    spark, tmp_path, doc_batches, variant, state_provider
+):
     stream = parquet_stream(spark, doc_batches, SCHEMA)
-    out = _run_to_memory(spark, variant(stream), f"dedup_{variant.__name__}")
+    out = _run_to_memory(
+        spark, variant(stream), f"dedup_{variant.__name__}_{state_provider}"
+    )
 
     # all dups fall inside the horizon here, so both variants agree with
     # the batch twin: one surviving doc per distinct text
