@@ -48,3 +48,34 @@ def dedup_stream_exact(docs: DataFrame) -> DataFrame:
     """Unbounded-state variant: exact dedup over all history (state =
     the full distinct-digest set; use RocksDB state store at scale)."""
     return docs.withColumn("digest", F.md5("text")).dropDuplicates(["digest"])
+
+
+def chunk_dedup_stream(docs: DataFrame, horizon: str = DEDUP_HORIZON) -> DataFrame:
+    """Chunk-level streaming dedup — the incremental-corpus-refresh
+    operator (text/cdchunk.py's module contract): whole-doc dedup drops
+    nothing when a re-crawled document changed ONE sentence, but its
+    content-defined chunk hashes are stable under edits elsewhere, so
+    keying the stream on chunk_hash emits exactly the NOVEL chunks of
+    each arriving document — what an incremental ingest actually needs
+    to store or re-embed.
+
+    Spark spelling: the batch chunker's scan-local array program runs
+    unchanged on the stream (pure per-row expressions, event_time rides
+    through as a passthrough column), then
+    ``dropDuplicatesWithinWatermark`` on the 60-bit chunk hash keeps a
+    seen-chunk set bounded by the dedup horizon. State scales with
+    distinct chunks in the horizon (~tokens/DIV keys × 8 B hash), the
+    RocksDB store (session.use_rocksdb_state_store) being the >heap
+    path. Batch twin: chunk_dedup_report / chunk_dedup_ledger on the
+    corpus at rest — parity asserted in tests/test_streaming_dedup.py.
+
+    `docs` must carry (doc_id, text, event_time); output is one row per
+    first-seen chunk: (doc_id, chunk_idx, start_tok, n_tokens,
+    chunk_hash, event_time)."""
+    from ..text.cdchunk import _chunked
+
+    return (
+        _chunked(docs, passthrough=("event_time",))
+        .withWatermark("event_time", horizon)
+        .dropDuplicatesWithinWatermark(["chunk_hash"])
+    )

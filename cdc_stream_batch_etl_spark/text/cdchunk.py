@@ -126,9 +126,14 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-def _chunked(docs: DataFrame) -> DataFrame:
-    """(doc_id, chunk_idx, start_tok, n_tokens, chunk_hash) — scan-local
-    per-document content-defined chunk table with [*, CDC_MAX] bounds."""
+def _chunked(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tokens, chunk_hash, *passthrough)
+    — scan-local per-document content-defined chunk table with
+    [*, CDC_MAX] bounds. ``passthrough`` columns (e.g. the event-time
+    column a streaming caller needs for its watermark) ride along
+    unchanged; every expression stays streaming-compatible (pure
+    per-row array programs, no window/agg), so the same plan serves
+    batch and readStream inputs."""
     # candidate cut positions i ∈ [2, n_shingles], kept iff the shingle
     # hash divides; guarded so the degenerate short-doc sequence()
     # can't run descending
@@ -154,9 +159,10 @@ def _chunked(docs: DataFrame) -> DataFrame:
         f"s -> struct(s AS start_tok, "
         f"least({CDC_MAX}, element_at(cuts, j + 1) - s) AS n_tokens))))"
     )
+    extra = list(passthrough)
     return (
         docs.select(
-            "doc_id", F.split(F.col("text"), " ").alias("words")
+            "doc_id", *extra, F.split(F.col("text"), " ").alias("words")
         )
         .withColumn("cand", cand)
         .withColumn("kept", kept)
@@ -168,7 +174,9 @@ def _chunked(docs: DataFrame) -> DataFrame:
         # reads `words` as a materialized attribute — the doc_chunks
         # linearity rule; extents are built in start order, so the
         # explode ordinal IS chunk_idx
-        .select("doc_id", "words", F.posexplode(extents).alias("chunk_idx", "e"))
+        .select(
+            "doc_id", *extra, "words", F.posexplode(extents).alias("chunk_idx", "e")
+        )
         .select(
             "doc_id",
             F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
@@ -177,6 +185,7 @@ def _chunked(docs: DataFrame) -> DataFrame:
             F.expr(hash64_expr("array_join(slice(words, e.start_tok, e.n_tokens), ' ')")).alias(
                 "chunk_hash"
             ),
+            *extra,
         )
     )
 
