@@ -288,6 +288,7 @@ HEADLINE: list[str] = [
     "approx_percentile_native",
     # round 10: new operators
     "chunk_dedup_ledger",
+    "image_phash_near_pairs",
 ]
 
 
@@ -301,6 +302,7 @@ HEADLINE: list[str] = [
 ISOLATE: frozenset[str] = frozenset(
     {
         "image_phash_dedup",
+        "image_phash_near_pairs",
         "image_png_roundtrip",
         "image_jpeg_roundtrip",
         # the declared-quadratic exact yardstick: 26 s mid-cohort vs

@@ -146,3 +146,146 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("canonical_doc_id"),
         F.count("*").over(w).alias("dup_count"),
     ).withColumn("is_canonical", F.col("doc_id") == F.col("canonical_doc_id"))
+
+
+#: Hamming radius for near-duplicate pairs. With the hash split into
+#: N_BANDS exact-match bands, the pigeonhole principle GUARANTEES any
+#: pair within distance < N_BANDS shares at least one untouched band —
+#: R = 3 < 4 makes the banded candidate generation exact, not heuristic
+#: (multi-index hashing: Norouzi, Punjani, Fleet, CVPR 2012 — public
+#: literature; no reference-repo counterpart, SURVEY §2.11 mandate).
+HAM_R = 3
+N_BANDS = 4  # 4 bands × 16 bits (4 hex chars) of the 64-bit aHash
+#: fail-open bucket cap — the minhash.MAX_BUCKET contract applied to a
+#: band value shared by a pathological fraction of the corpus
+MAX_PHASH_BUCKET = 64
+
+# 32-bit halves of the 16-hex phash — a full 64-bit unsigned value can
+# overflow BIGINT, two 8-hex halves cannot; same split in both engines
+_HAM_SPARK = (
+    "cast(bit_count(cast(conv(substr({a}, 1, 8), 16, 10) as bigint) "
+    "^ cast(conv(substr({b}, 1, 8), 16, 10) as bigint)) "
+    "+ bit_count(cast(conv(substr({a}, 9, 8), 16, 10) as bigint) "
+    "^ cast(conv(substr({b}, 9, 8), 16, 10) as bigint)) as bigint)"
+)
+
+
+def phash_near_pairs(hashes: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming, is_exact) for every pair within HAM_R
+    bits — sublinear Hamming search over a (doc_id, phash) frame.
+
+    Bucket-pair idiom (dedup/minhash.py, text/winnow.py): each band
+    value's members fold into ONE sorted array, capped, and pairs expand
+    scan-locally — a band-keyed self-join would re-run the upstream
+    Arrow decode pass per side, since the mapInPandas frame is never
+    persisted. A pair sharing several bands dedups in the distinct."""
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, substr(phash, b * 4 + 1, 4) AS bval))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", "bb.band", "bb.bval")
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "phash"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= MAX_PHASH_BUCKET))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.phash AS ph_a, y.phash AS ph_b))))"
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.ph_a", "p.ph_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.expr(_HAM_SPARK.format(a="ph_a", b="ph_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAM_R)
+        .withColumn("is_exact", F.col("hamming") == 0)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_NEAR_ORACLE = f"""
+WITH hexmap AS ({_HEXMAP}),
+sh AS (SELECT doc_id, lower(sha256(text)) AS h FROM documents),
+bytes AS ({_DIGEST_BYTES}),
+dims AS (
+  SELECT doc_id,
+         64 + (MAX(CASE WHEN j = 0 THEN v END) % 192) AS width
+  FROM bytes GROUP BY doc_id
+),
+cols AS (
+  SELECT d.doc_id, x.xi,
+         (ba.v + bb.v + bc.v) // 3 AS g
+  FROM dims d
+  CROSS JOIN range({GRID}) x(xi)
+  JOIN bytes ba ON ba.doc_id = d.doc_id
+               AND ba.j = ((x.xi * d.width // {GRID}) * 3) % 32
+  JOIN bytes bb ON bb.doc_id = d.doc_id
+               AND bb.j = ((x.xi * d.width // {GRID}) * 3 + 1) % 32
+  JOIN bytes bc ON bc.doc_id = d.doc_id
+               AND bc.j = ((x.xi * d.width // {GRID}) * 3 + 2) % 32
+),
+sums AS (
+  SELECT doc_id, SUM(g) AS sumg FROM cols GROUP BY doc_id
+),
+hashes AS (
+  SELECT c.doc_id,
+         repeat(printf('%02x',
+           CAST(SUM(CASE WHEN c.g * {GRID} > s.sumg
+                         THEN 1 << c.xi ELSE 0 END) AS INTEGER)), {GRID}) AS phash
+  FROM cols c JOIN sums s USING (doc_id)
+  GROUP BY c.doc_id
+),
+bands AS (
+  SELECT doc_id, phash, b.b AS band, substr(phash, b.b * 4 + 1, 4) AS bval
+  FROM hashes, range({N_BANDS}) b(b)
+),
+capped AS (
+  SELECT doc_id, phash, band, bval FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bval) AS bsz FROM bands
+  ) WHERE bsz <= {MAX_PHASH_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.phash AS ph_a, b.phash AS ph_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(CAST(('0x' || substr(ph_a, 1, 8)) AS BIGINT),
+                            CAST(('0x' || substr(ph_b, 1, 8)) AS BIGINT)))
+            + bit_count(xor(CAST(('0x' || substr(ph_a, 9, 8)) AS BIGINT),
+                            CAST(('0x' || substr(ph_b, 9, 8)) AS BIGINT)))
+           AS BIGINT) AS hamming
+  FROM pairs
+)
+SELECT doc_a, doc_b, hamming, hamming = 0 AS is_exact
+FROM scored
+WHERE hamming <= {HAM_R}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("image_phash_near_pairs", oracle=_NEAR_ORACLE)
+def image_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pairs within HAM_R=3 bits of perceptual-hash distance —
+    the NEAR rung above image_phash_dedup's exact hash groups (a
+    re-encode or mild edit moves a few aHash bits, never zero). The
+    4×16-bit banding makes candidate volume sublinear while the
+    pigeonhole bound keeps recall at radius 3 EXACT; the oracle
+    replays the same banding + cap on its digest-predicted hashes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phash_near_pairs(image_ahash(encode_bmp(docs)))

@@ -55,12 +55,12 @@ ROWS_ONLY: dict[str, str] = {
 #: positions: exact for unbounded document length) and
 #: content_defined_chunks / chunk_dedup_report (FastCDC MIN/MAX chunk
 #: bounds); (b) the two change-sensitive sentinels; (c) staleness
-#: rotation — the full 42-query r5 cohort (now the oldest driver rows)
-#: plus one r6 query, keeping every query's most recent driver check
-#: ≤ 5 rounds old.
+#: rotation — the full 42-query r5 cohort (now the oldest driver rows),
+#: keeping every query's most recent driver check ≤ 5 rounds old.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) NEW in round 10 — first driver row
+    # (a) NEW in round 10 — first driver rows
     "chunk_dedup_ledger",
+    "image_phash_near_pairs",
     # (a') changed in round 10 — must re-green
     "winnowed_fingerprints",
     "winnow_match_pairs",
@@ -112,8 +112,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "shard_manifest",
     "source_semantic_diversity",
     "text_normalize",
-    # one r6 query fills slot 50
-    "promo_revenue_share",
 )
 
 

@@ -359,6 +359,18 @@ def test_cdchunk_scan_local_until_output(spark, sf_dir):
     assert rplan.count("Scan parquet") == 1
 
 
+def test_chunk_ledger_two_scans_no_cartesian(spark, sf_dir):
+    """The ledger composes the chunk table with the exact-dup rung:
+    exactly the two corpus scans the composition contract allows (the
+    dedup_ledger "(sourced)" precedent — the runner feeds materialized
+    components at scale) and doc-id-keyed joins only."""
+    from cdc_stream_batch_etl_spark.text.cdchunk import chunk_dedup_ledger
+
+    plan = _plan(chunk_dedup_ledger(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+
+
 def test_vocab_coverage_broadcasts_the_vocabulary(spark, sf_dir):
     """The top-V cut must broadcast into the coverage join — the corpus
     token table must never shuffle on the join key for it."""
