@@ -191,9 +191,15 @@ def write_zorder(
     )
 
 
-#: manifest pointer file name — the ONLY mutable piece of a compacted
-#: table; its content is the active version directory name (``_vN``)
-_POINTER = "_CURRENT"
+#: commit-marker prefix — the manifest is a set of IMMUTABLE empty
+#: marker files ``_commit_<N>``, one per committed version dir ``_vN``
+#: (a tiny snapshot log, the Iceberg idea minus the metadata payload).
+#: Nothing is ever modified in place: a version is committed by CREATING
+#: its marker and retired by DELETING marker-then-dir, so readers can
+#: never observe a half-written manifest — the failure mode a single
+#: mutable pointer file has on stores whose overwrite-rename is
+#: delete+rename (Hadoop local FS FileContext, S3A).
+_COMMIT_RE = re.compile(r"^_commit_(\d+)$")
 _VERSION_RE = re.compile(r"^_v(\d+)$")
 
 
@@ -203,70 +209,51 @@ def _hadoop(spark: SparkSession, path: str):
     return Path, p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
-def _read_pointer(spark: SparkSession, path: str) -> str | None:
-    """The active version dir name, or None for a legacy plain table."""
-    Path, _, fs = _hadoop(spark, path)
-    ptr = Path(path.rstrip("/") + "/" + _POINTER)
-    if not fs.exists(ptr):
-        return None
-    reader = spark._jvm.java.io.BufferedReader(
-        spark._jvm.java.io.InputStreamReader(fs.open(ptr), "UTF-8")
-    )
-    try:
-        line = reader.readLine()
-    finally:
-        reader.close()
-    name = (line or "").strip()
-    return name if _VERSION_RE.match(name) else None
+def _committed_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed version numbers (ascending), [] for a legacy table."""
+    Path, root_p, fs = _hadoop(spark, path)
+    if not fs.exists(root_p):
+        return []
+    out = []
+    for status in fs.listStatus(root_p):
+        m = _COMMIT_RE.match(status.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
-def _write_pointer(spark: SparkSession, path: str, version: str) -> None:
-    """Atomic pointer flip: write a tmp file, FileContext-rename it over
-    _CURRENT with OVERWRITE (atomic on HDFS and local FS — unlike
-    FileSystem.rename, which refuses an existing destination)."""
+def _commit_version(spark: SparkSession, path: str, n: int) -> None:
+    """Commit ``_vN`` by creating its immutable marker (empty file —
+    the NAME is the information, so there is no partial-content state;
+    create is atomic on HDFS, local FS, and object stores)."""
     Path, _, fs = _hadoop(spark, path)
-    root = path.rstrip("/")
-    tmp = Path(root + "/._CURRENT.tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(version.encode("utf-8")))
-    finally:
-        out.close()
-    jvm = spark._jvm
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        spark._jsc.hadoopConfiguration()
-    )
-    # Rename.OVERWRITE is a Java vararg — py4j needs an explicit array
-    rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
-    opts = spark.sparkContext._gateway.new_array(rename_cls, 1)
-    opts[0] = rename_cls.OVERWRITE
-    fc.rename(tmp, Path(root + "/" + _POINTER), opts)
+    out = fs.create(Path(path.rstrip("/") + f"/_commit_{n}"), True)
+    out.close()
 
 
 def resolve_table_path(spark: SparkSession, path: str) -> str:
-    """The directory a reader should scan: ``path/_vN`` when the manifest
-    pointer exists, else ``path`` itself (legacy plain table). Fail-open:
-    a pointer naming a missing dir falls back to ``path``."""
-    version = _read_pointer(spark, path)
-    if version is None:
-        return path
+    """The directory a reader should scan: the newest committed
+    ``path/_vN`` whose dir exists, else ``path`` itself (legacy plain
+    table). Fail-open on markers whose dir is mid-retirement."""
     Path, _, fs = _hadoop(spark, path)
-    vdir = path.rstrip("/") + "/" + version
-    return vdir if fs.exists(Path(vdir)) else path
+    for n in reversed(_committed_versions(spark, path)):
+        vdir = path.rstrip("/") + f"/_v{n}"
+        if fs.exists(Path(vdir)):
+            return vdir
+    return path
 
 
 def load_versioned(spark: SparkSession, path: str) -> DataFrame:
-    """Reader for compaction-managed tables: resolve the manifest
-    pointer, scan, and re-resolve + retry ONCE if the resolved version
-    was retired mid-read (a reader survives one concurrent compaction by
-    the retain-previous rule; surviving two needs this re-resolve)."""
-    from pyspark.errors import AnalysisException
-
+    """Reader for compaction-managed tables: resolve the newest
+    committed version, scan, and re-resolve + retry ONCE if the
+    resolved version was retired mid-read (a reader survives one
+    concurrent compaction by the retain-previous rule; surviving two
+    needs this re-resolve)."""
     try:
         df = spark.read.parquet(resolve_table_path(spark, path))
         df.schema  # force resolution now, while the version is live
         return df
-    except AnalysisException:
+    except Exception:
         return spark.read.parquet(resolve_table_path(spark, path))
 
 
@@ -297,26 +284,28 @@ def compact_partitions(
     Returns {"files_before", "files_after", "bytes"} for the caller's
     maintenance log.
 
-    Durability — manifest-pointer commit (r10, replacing the r9
-    two-rename swap whose crash window left NO table at `path`): the
+    Durability — immutable commit-marker manifest (r10, replacing the
+    r9 two-rename swap whose crash window left NO table at `path`): the
     compacted data is written ONCE to a fresh VERSION directory
     ``path/_vN`` (underscore-prefixed, so plain parquet readers never
-    see it), then the ``_CURRENT`` pointer file is atomically replaced
-    to name it. Readers (``load_versioned`` / ``resolve_table_path``)
-    follow the pointer; at every instant the pointer names a complete,
-    immutable version, so a concurrent reader can never observe a
-    missing or half-written table. The PREVIOUS version is retained
-    through one compaction (deleted only by the next one), so an
-    in-flight scan that resolved before the flip finishes cleanly;
-    a reader older than two compactions re-resolves and retries once
-    (load_versioned). Crash anywhere = pointer still names the old
-    complete version; unreferenced version dirs and pointer tmp files
-    are swept as debris on the next run. Works unchanged on object
-    stores (S3A): the only rename is the single pointer file, and
-    readers never depend on directory-rename atomicity. Legacy plain
-    tables migrate on first compaction (their root files act as the
-    implicit previous version); legacy ``__precompact`` crash debris
-    from the r9 scheme is still auto-restored.
+    see it), then committed by CREATING the empty marker file
+    ``_commit_N`` — a tiny snapshot log. Readers (``load_versioned`` /
+    ``resolve_table_path``) list markers and scan the newest committed
+    dir; since markers are only ever created or deleted whole (never
+    rewritten), there is NO mutable manifest state to catch mid-update
+    — the race a single pointer file has on stores whose
+    overwrite-rename is delete+rename (Hadoop local-FS FileContext,
+    S3A). The PREVIOUS version is retained through one compaction
+    (retired only by the next one, marker first, then data), so an
+    in-flight scan that resolved before the commit finishes cleanly; a
+    reader older than two compactions re-resolves and retries once
+    (load_versioned). Crash anywhere = the newest marker still names a
+    complete version; marker-less version dirs and orphan markers are
+    swept as debris on the next run. No rename is used at all, so the
+    protocol holds unchanged on object stores. Legacy plain tables
+    migrate on first compaction (their root files act as the implicit
+    previous version); legacy ``__precompact`` crash debris from the
+    r9 scheme is still auto-restored.
 
     Byte budget with hive partitioning: a repartition on the partition
     columns alone would put each hive partition in ONE task → one file
@@ -343,36 +332,38 @@ def compact_partitions(
                 f"compact_partitions: could not restore {root}__precompact to {path}"
             )
 
-    prev_version = _read_pointer(spark, path)
-    src = root + "/" + prev_version if prev_version is not None else path
-    next_n = (
-        int(_VERSION_RE.match(prev_version).group(1)) + 1
-        if prev_version is not None
-        else 2  # the legacy root files are the implicit _v1
-    )
+    committed = _committed_versions(spark, path)
+    prev_n = committed[-1] if committed else 1  # legacy root = implicit _v1
+    src = root + f"/_v{prev_n}" if committed else path
+    next_n = prev_n + 1
     new_version = f"_v{next_n}"
     tmp = root + "/" + new_version
 
-    # debris sweep: legacy sibling dirs from the r9 scheme, pointer tmp
-    # files, and version dirs NEWER than the committed pointer (crashed
-    # uncommitted writes). Retirement of SUPERSEDED versions happens
-    # post-flip instead (below): sweeping them here would give an
+    # debris sweep: legacy sibling dirs from the r9 scheme, pointer files
+    # from the interim single-pointer scheme, version dirs with NO commit
+    # marker (a crashed write), and orphan markers whose dir is gone
+    # (a crashed retirement). Retirement of SUPERSEDED versions happens
+    # post-commit instead (below): sweeping them here would give an
     # in-flight reader ~zero grace when compactions run back-to-back —
-    # post-flip, a superseded version survives through the entire next
+    # post-commit, a superseded version survives through the entire next
     # compaction's write.
-    prev_n = (
-        int(_VERSION_RE.match(prev_version).group(1))
-        if prev_version is not None
-        else 1
-    )
-    for stale in (Path(root + "__compacting"), old_p, Path(root + "/._CURRENT.tmp")):
+    committed_set = set(committed)
+    for stale in (
+        Path(root + "__compacting"),
+        old_p,
+        Path(root + "/._CURRENT.tmp"),
+        Path(root + "/_CURRENT"),
+    ):
         if fs.exists(stale):
             fs.delete(stale, True)
     for status in fs.listStatus(dst):
         name = status.getPath().getName()
         m = _VERSION_RE.match(name)
-        if m and int(m.group(1)) > prev_n:
+        if m and int(m.group(1)) not in committed_set:
             fs.delete(status.getPath(), True)
+        cm = _COMMIT_RE.match(name)
+        if cm and not fs.exists(Path(root + f"/_v{cm.group(1)}")):
+            fs.delete(status.getPath(), False)
 
     src_p = Path(src)
     total_bytes = fs.getContentSummary(src_p).getLength()
@@ -443,21 +434,26 @@ def compact_partitions(
         if fs.exists(Path(tmp)):
             fs.delete(Path(tmp), True)
         raise
-    # THE commit: one atomic pointer replacement. Readers either still
-    # see the previous version (retained) or the new one — never a gap.
-    _write_pointer(spark, path, new_version)
-    # post-flip retirement: versions at least two generations old (and,
+    # THE commit: atomically CREATE the new version's marker. Readers
+    # either still resolve the previous version (retained) or the new
+    # one — never a gap, and never a half-written manifest.
+    _commit_version(spark, path, next_n)
+    # post-commit retirement: versions at least two generations old
+    # (marker deleted FIRST, so a crash leaves an uncommitted orphan dir
+    # for the next sweep, never a committed marker without data) — and,
     # once any version dir has itself been superseded, the legacy root
-    # files — the implicit _v1). Each version therefore lives from its
+    # files (the implicit _v1). Each version therefore lives from its
     # commit until the END of the next-but-one compaction, giving every
     # in-flight reader at least one full compaction's write time.
-    for status in fs.listStatus(dst):
-        name = status.getPath().getName()
-        m = _VERSION_RE.match(name)
-        if m and int(m.group(1)) <= next_n - 2:
-            fs.delete(status.getPath(), True)
-        elif next_n >= 3 and not name.startswith(("_", ".")):
-            fs.delete(status.getPath(), True)
+    for n in committed:
+        if n <= next_n - 2:
+            fs.delete(Path(root + f"/_commit_{n}"), False)
+            fs.delete(Path(root + f"/_v{n}"), True)
+    if committed:
+        for status in fs.listStatus(dst):
+            name = status.getPath().getName()
+            if not name.startswith(("_", ".")):
+                fs.delete(status.getPath(), True)
     files_after = len(spark.read.parquet(resolve_table_path(spark, path)).inputFiles())
     return {
         "files_before": files_before,
