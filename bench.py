@@ -289,6 +289,8 @@ HEADLINE: list[str] = [
     # round 10: new operators
     "chunk_dedup_ledger",
     "image_phash_near_pairs",
+    "embedding_top_direction",
+    "embedding_isotropy_report",
 ]
 
 

@@ -61,6 +61,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
     "chunk_dedup_ledger",
     "image_phash_near_pairs",
+    "embedding_top_direction",
+    "embedding_isotropy_report",
     # (a') changed in round 10 — must re-green
     "winnowed_fingerprints",
     "winnow_match_pairs",
@@ -201,6 +203,9 @@ def load_all() -> None:
 
     # --- CHANGED in round 9: real MJPEG-in-AVI container parse ---
     from .multimodal import aviops  # noqa: F401  multimodal_frame_sample (real container bytes)
+
+    # --- NEW in round 10 ---
+    from .similarity import abtt  # noqa: F401  embedding_top_direction, embedding_isotropy_report
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
