@@ -291,6 +291,7 @@ HEADLINE: list[str] = [
     "image_phash_near_pairs",
     "embedding_top_direction",
     "embedding_isotropy_report",
+    "winnow_match_spans",
 ]
 
 

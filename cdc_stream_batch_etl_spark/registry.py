@@ -63,6 +63,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "image_phash_near_pairs",
     "embedding_top_direction",
     "embedding_isotropy_report",
+    "winnow_match_spans",
     # (a') changed in round 10 — must re-green
     "winnowed_fingerprints",
     "winnow_match_pairs",

@@ -281,3 +281,74 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_fps") >= MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SPANS_ORACLE = f"""
+WITH {_WINNOW_CTE},
+keyed AS (
+  SELECT doc_id, fp_hash, min(fp_pos) AS lo, max(fp_pos) AS hi
+  FROM fp GROUP BY doc_id, fp_hash
+),
+capped AS (
+  SELECT doc_id, fp_hash, lo, hi FROM (
+    SELECT *, count(*) OVER (PARTITION BY fp_hash) AS bsz FROM keyed
+  ) WHERE bsz <= {MAX_FP_BUCKET}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps,
+       CAST(min(a.lo) AS BIGINT) AS a_start_tok,
+       CAST(max(a.hi) + {WINNOW_K - 1} AS BIGINT) AS a_end_tok,
+       CAST(min(b.lo) AS BIGINT) AS b_start_tok,
+       CAST(max(b.hi) + {WINNOW_K - 1} AS BIGINT) AS b_end_tok
+FROM capped a JOIN capped b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("winnow_match_spans", oracle=_SPANS_ORACLE)
+def winnow_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage localization for every winnowing match: the token extent
+    [start, end] that brackets ALL shared fingerprints in each document
+    of the pair — the paper's actual use (point a reviewer AT the
+    copied passage, not just at the document pair). One bracket per
+    pair (multiple shared blocks merge into their hull — coarse by
+    design; exact multi-span needs the per-block walk a reviewer does
+    anyway). end = last shared shingle position + K−1, the last token
+    the guarantee covers.
+
+    Same bucket-pair idiom and caps as winnow_match_pairs, carrying
+    per-(doc, hash) position extremes through the bucket arrays —
+    join volume unchanged, two extra bigints per member."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = (
+        _fingerprints(docs)
+        .groupBy("doc_id", "fp_hash")
+        .agg(F.min("fp_pos").alias("lo"), F.max("fp_pos").alias("hi"))
+    )
+    buckets = (
+        keyed.groupBy("fp_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "lo", "hi"))).alias("ms"))
+        .filter(F.size("ms") <= MAX_FP_BUCKET)
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.lo AS alo, x.hi AS ahi, y.lo AS blo, y.hi AS bhi))))"
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("shared_fps"),
+            F.min("alo").cast("bigint").alias("a_start_tok"),
+            (F.max("ahi") + (WINNOW_K - 1)).cast("bigint").alias("a_end_tok"),
+            F.min("blo").cast("bigint").alias("b_start_tok"),
+            (F.max("bhi") + (WINNOW_K - 1)).cast("bigint").alias("b_end_tok"),
+        )
+        .filter(F.col("shared_fps") >= MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -175,3 +175,21 @@ def test_match_pairs_finds_planted_passage(spark, sf_dir, tmp_path):
     assert (9_000_001, 9_000_002) in pairs
     assert pairs[(9_000_001, 9_000_002)] >= MIN_SHARED
     assert not any(9_000_003 in p for p in pairs)
+
+    # span localization: the reported bracket must cover (a slice of)
+    # the planted passage at its ACTUAL token offsets in each document —
+    # doc 1 carries it after a 24-token intro, doc 2 at position 0
+    from cdc_stream_batch_etl_spark.text.winnow import winnow_match_spans
+
+    spans = {
+        (r.doc_a, r.doc_b): r
+        for r in winnow_match_spans(spark, str(planted_dir)).collect()
+    }
+    s = spans[(9_000_001, 9_000_002)]
+    a_intro = len(("intro words here " * 8).split())  # passage offset in doc a
+    passage_len = 60
+    assert a_intro <= s.a_start_tok <= s.a_end_tok < a_intro + passage_len
+    assert 0 <= s.b_start_tok <= s.b_end_tok < passage_len
+    # the bracket must cover most of the shared passage, not one point
+    assert s.a_end_tok - s.a_start_tok >= passage_len // 2
+    assert s.shared_fps == pairs[(9_000_001, 9_000_002)]
