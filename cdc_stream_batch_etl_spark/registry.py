@@ -55,8 +55,9 @@ ROWS_ONLY: dict[str, str] = {
 #: positions: exact for unbounded document length) and
 #: content_defined_chunks / chunk_dedup_report (FastCDC MIN/MAX chunk
 #: bounds); (b) the two change-sensitive sentinels; (c) staleness
-#: rotation — the full 42-query r5 cohort (now the oldest driver rows),
-#: keeping every query's most recent driver check ≤ 5 rounds old.
+#: rotation — the r5 cohort (now the oldest driver rows). The five new
+#: operators squeeze the rotation to 39 of the cohort's 42; the last
+#: three tuple entries sit past slot 50 and lead the r11 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
     "chunk_dedup_ledger",

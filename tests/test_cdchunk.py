@@ -237,3 +237,28 @@ def test_short_documents_single_chunk(spark):
     assert len(rows) == 2
     assert per[1].n_tokens == 2 and per[1].start_tok == 1
     assert per[2].n_tokens == 1
+
+
+def test_random_corpus_matches_python_reference(spark):
+    """Randomized parity sweep: 30 documents with adversarial lengths
+    (empty-ish, sub-shingle, exact-boundary, long) from a small alphabet
+    (forces dense candidate cuts and MIN-suppression runs) must match
+    the pure-Python reference row-for-row."""
+    import random
+
+    rng = random.Random(1009)
+    lengths = [1, 2, 3, CDC_K, CDC_K + 1, 2 * CDC_MAX, 200] + [
+        rng.randint(1, 300) for _ in range(23)
+    ]
+    docs = [
+        (i + 1, " ".join(rng.choice("abcdefgh") for _ in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    rows = _chunked(_docs(spark, docs)).collect()
+    got = sorted((r.doc_id, r.chunk_idx, r.start_tok, r.n_tokens) for r in rows)
+    want = sorted(
+        (doc_id, i, s, n)
+        for doc_id, text in docs
+        for i, s, n, _ in _py_chunks(text.split(" "))
+    )
+    assert got == want

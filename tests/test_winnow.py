@@ -193,3 +193,30 @@ def test_match_pairs_finds_planted_passage(spark, sf_dir, tmp_path):
     # the bracket must cover most of the shared passage, not one point
     assert s.a_end_tok - s.a_start_tok >= passage_len // 2
     assert s.shared_fps == pairs[(9_000_001, 9_000_002)]
+
+
+def test_random_corpus_matches_python_reference(spark):
+    """Randomized parity sweep: 20 documents with adversarial lengths
+    (below/at/above the full-window threshold) and a small alphabet
+    (forces hash ties, exercising the rightmost tie-break) must match
+    the paper-verbatim pure-Python reference exactly."""
+    import random
+
+    rng = random.Random(4099)
+    lengths = [1, WINNOW_K - 1, WINNOW_K, WINNOW_K + WINNOW_W - 2,
+               WINNOW_K + WINNOW_W - 1, WINNOW_K + WINNOW_W] + [
+        rng.randint(1, 120) for _ in range(14)
+    ]
+    docs = [
+        (i + 1, " ".join(rng.choice("abcd") for _ in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    rows = _fingerprints(_docs(spark, docs)).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n_sh = len(toks) - WINNOW_K + 1
+        want = _python_winnow(toks) if n_sh >= WINNOW_W else set()
+        assert got.get(doc_id, set()) == want, f"doc {doc_id} (len {len(toks)})"
