@@ -48,18 +48,22 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r10 window: (a) first row for the query NEW this round
-#: (chunk_dedup_ledger — the per-document chunk-rewrite plan); (a')
-#: re-rows for the four whose plan AND oracle changed —
-#: winnowed_fingerprints / winnow_match_pairs (segment-local packed
-#: positions: exact for unbounded document length) and
-#: content_defined_chunks / chunk_dedup_report (FastCDC MIN/MAX chunk
-#: bounds); (b) the two change-sensitive sentinels; (c) staleness
-#: rotation — the r5 cohort (now the oldest driver rows). The five new
-#: operators squeeze the rotation to 39 of the cohort's 42; the last
-#: three tuple entries sit past slot 50 and lead the r11 rotation.
+#: r10 window: (a) first rows for the eight queries NEW this round
+#: (zorder layout report, Poisson bootstrap, quantile alignment,
+#: chunk-rewrite ledger, pHash multi-index pairs, the two ABTT
+#: isotropy ops, winnow match spans); (a') re-rows for the four whose
+#: plan AND oracle changed — winnowed_fingerprints / winnow_match_pairs
+#: (segment-local packed positions: exact for unbounded document
+#: length) and content_defined_chunks / chunk_dedup_report (FastCDC
+#: MIN/MAX chunk bounds); (b) the two change-sensitive sentinels; (c)
+#: staleness rotation — the r5 cohort (now the oldest driver rows). The
+#: new operators squeeze the rotation to 36 of the cohort's 42; the
+#: last six tuple entries sit past slot 50 and lead the r11 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
+    "zorder_file_skipping",
+    "bootstrap_revenue_means",
+    "source_quantile_align",
     "chunk_dedup_ledger",
     "image_phash_near_pairs",
     "embedding_top_direction",
@@ -208,6 +212,9 @@ def load_all() -> None:
 
     # --- NEW in round 10 ---
     from .similarity import abtt  # noqa: F401  embedding_top_direction, embedding_isotropy_report
+    from .operators import zorder  # noqa: F401  zorder_file_skipping — Morton-layout skipping report
+    from .operators import bootstrap  # noqa: F401  bootstrap_revenue_means — Poisson bootstrap replicates
+    from .text import quantalign  # noqa: F401  source_quantile_align — cross-source quantile mapping
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
