@@ -382,3 +382,48 @@ def test_vocab_coverage_broadcasts_the_vocabulary(spark, sf_dir):
         assert "SortMergeJoin" not in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_zorder_report_broadcasts_bounds_no_global_sort(spark, sf_dir):
+    """The layout report's only join is the broadcast of the 1-row
+    bounds aggregate; cell assignment is pure scan-local arithmetic —
+    never an ntile/global-window sort of the fact table."""
+    from cdc_stream_batch_etl_spark.operators.zorder import zorder_file_skipping
+
+    plan = _plan(zorder_file_skipping(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    # two scans: the bounds pass and the labeling pass
+    assert plan.count("Scan parquet") == 2
+
+
+def test_bootstrap_fanout_collapses_in_partial_agg(spark, sf_dir):
+    """The x32 replicate explode must be consumed by a partial
+    HashAggregate in the same stage — the shuffle carries per-task
+    partials, never the expanded rows; no join anywhere."""
+    from cdc_stream_batch_etl_spark.operators.bootstrap import (
+        bootstrap_revenue_means,
+    )
+
+    plan = _plan(bootstrap_revenue_means(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    assert plan.count("Scan parquet") == 1
+    # explode feeds the aggregate before any exchange: the plan reads
+    # (bottom-up) scan -> generate -> partial agg -> exchange
+    gen_pos = plan.rindex("Generate")
+    first_exchange = plan.find("Exchange")
+    assert first_exchange < gen_pos  # rendered top-down: exchange ABOVE generate
+
+
+def test_quantile_align_joins_broadcast_global_vector(spark, sf_dir):
+    """Per-source decile vectors join the 1-row global vector by
+    broadcast; the fact table is scanned twice (global + keyed
+    percentile aggregates), never sorted globally."""
+    from cdc_stream_batch_etl_spark.text.quantalign import source_quantile_align
+
+    plan = _plan(source_quantile_align(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 2
