@@ -82,10 +82,14 @@ WITH expanded AS (
   SELECT o.o_orderkey, o.o_totalprice, r.replicate
   FROM orders o, LATERAL unnest(generate_series(0, {N_REPLICATES - 1})) r(replicate)
 ),
+hashed AS (
+  SELECT replicate, o_totalprice, {_H40_SQL} AS h
+  FROM expanded
+),
 weighted AS (
   SELECT replicate, o_totalprice,
-         {_w_cases(_H40_SQL)} AS w
-  FROM expanded
+         {_w_cases('h')} AS w
+  FROM hashed
 )
 SELECT CAST(replicate AS BIGINT) AS replicate,
        CAST(sum(w) AS BIGINT) AS n_sampled,
@@ -109,10 +113,15 @@ def bootstrap_revenue_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.explode(F.sequence(F.lit(0), F.lit(N_REPLICATES - 1))).alias("replicate"),
     )
-    weighted = expanded.select(
+    # hash projected ONCE, then the 6 threshold comparisons read the
+    # column — never 6 inlined md5 evaluations per row
+    hashed = expanded.select(
+        "replicate", "o_totalprice", F.expr(_H40_SPARK).alias("h")
+    )
+    weighted = hashed.select(
         "replicate",
         "o_totalprice",
-        F.expr(_w_cases(_H40_SPARK)).alias("w"),
+        F.expr(_w_cases("h")).alias("w"),
     )
     return (
         weighted.groupBy("replicate")
