@@ -70,3 +70,63 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows_at_risk",
         )
     )
+
+
+L_DIV = 3
+#: sensitive attribute: account-balance band. Banding runs on exact
+#: integer CENTS with a +200000 shift so both engines' integer division
+#: (Spark `div` truncates toward zero, DuckDB `//` floors) agree — the
+#: shift makes every operand positive, where the two rules coincide.
+_BAND_SPARK = "(cast(round(c_acctbal * 100) as bigint) + 200000) div 200000"
+_BAND_SQL = "(CAST(round(c_acctbal * 100) AS BIGINT) + 200000) // 200000"
+
+_L_DIV_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         {_BAND_SQL} AS balance_band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(sum(n) AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS distinct_sensitive,
+       CAST(max(n) AS BIGINT) AS max_sensitive_count,
+       count(*) >= {L_DIV} AS l_diverse
+FROM cells
+GROUP BY 1, 2
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@register("l_diversity_report", oracle=_L_DIV_ORACLE)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al., ICDE 2006 —
+    the rung above k_anonymity_report): a group can be k-anonymous yet
+    leak its sensitive attribute if every member shares one value.
+    Per quasi-identifier group (nation × market segment): size, the
+    number of distinct sensitive balance-band values, the largest
+    single band's count (the recursive-(c,l) input), and the
+    l >= {L} verdict.
+
+    Plan: two stacked hash-aggs — (qi, band) cells, then qi groups —
+    both map-side-partial; cell cardinality is bounded by the attribute
+    domain product, so the shuffles carry summaries, never rows. Zero
+    windows, zero joins.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(_BAND_SPARK).alias("balance_band"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        cells.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("n").cast("bigint").alias("group_size"),
+            F.count("*").cast("bigint").alias("distinct_sensitive"),
+            F.max("n").cast("bigint").alias("max_sensitive_count"),
+            (F.count("*") >= L_DIV).alias("l_diverse"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -427,3 +427,26 @@ def test_quantile_align_joins_broadcast_global_vector(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_l_diversity_two_stacked_hashaggs(spark, sf_dir):
+    """Both aggregation levels are hash-aggs over bounded-domain keys;
+    no window, no join, one scan."""
+    from cdc_stream_batch_etl_spark.operators.privacy import l_diversity_report
+
+    plan = _plan(l_diversity_report(spark, sf_dir), "simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
+
+
+def test_truncation_recall_broadcasts_queries(spark, sf_dir):
+    """Both rankings broadcast the bounded query set against the corpus
+    scan — the ann_cosine_topk contract; no sort-merge pair join."""
+    from cdc_stream_batch_etl_spark.similarity.matryoshka import (
+        embedding_truncation_recall,
+    )
+
+    plan = _plan(embedding_truncation_recall(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
