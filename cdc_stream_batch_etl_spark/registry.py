@@ -61,6 +61,7 @@ ROWS_ONLY: dict[str, str] = {
 #: last six tuple entries sit past slot 50 and lead the r11 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
+    "rank_overlap_rbo",
     "l_diversity_report",
     "embedding_truncation_recall",
     "zorder_file_skipping",
@@ -218,7 +219,8 @@ def load_all() -> None:
     from .operators import bootstrap  # noqa: F401  bootstrap_revenue_means — Poisson bootstrap replicates
     from .text import quantalign  # noqa: F401  source_quantile_align — cross-source quantile mapping
     from .similarity import matryoshka  # noqa: F401  embedding_truncation_recall — truncated-width recall@K
-    # (l_diversity_report registers via the privacy import above)
+    # (l_diversity_report registers via the privacy import above;
+    #  rank_overlap_rbo via the fusion import above)
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs

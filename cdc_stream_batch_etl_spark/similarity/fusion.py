@@ -50,8 +50,9 @@ RANK_DEPTH = 1000
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
 
-_RRF_ORACLE = f"""
-WITH lex AS (
+#: shared lex/sem rank CTEs (WITH body) — reused by the RRF fusion and
+#: the RBO rank-agreement oracles
+_LEGS_CTE = f"""lex AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
   FROM (
@@ -113,6 +114,10 @@ sem AS (
     ) ORDER BY cos_sim DESC, vec_id LIMIT {RANK_DEPTH}
   )
 )
+"""
+
+_RRF_ORACLE = f"""
+WITH {_LEGS_CTE}
 SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
        COALESCE(1.0e0 / ({RRF_K} + lex.lex_rank), 0.0e0)
          + COALESCE(1.0e0 / ({RRF_K} + sem.sem_rank), 0.0e0) AS rrf_score,
@@ -124,13 +129,11 @@ LIMIT {TOP_K}
 """
 
 
-@register("hybrid_rrf_search", oracle=_RRF_ORACLE)
-def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K documents by reciprocal-rank fusion of the BM25 lexical
-    ranking (QUERY_TERMS) and the cosine semantic ranking against
-    QUERY_VEC_ID's embedding."""
+def _lex_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lex_rank): the BM25 leg, truncated to RANK_DEPTH via a
+    bounded per-partition heap (TakeOrderedAndProject)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lex = (
+    return (
         bm25_scores(docs)
         .orderBy(F.desc("score"), "doc_id")
         .limit(RANK_DEPTH)  # TakeOrdered: bounded heap, no global sort
@@ -142,6 +145,10 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+def _sem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sem_rank): the cosine leg against QUERY_VEC_ID's
+    embedding (1-row broadcast, one corpus scan), RANK_DEPTH-truncated."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -150,7 +157,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot_qc = _DOT.format(a="qe", b="ce")
     dot_qq = _DOT.format(a="qe", b="qe")
     dot_cc = _DOT.format(a="ce", b="ce")
-    sem = (
+    return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ce"))
         .crossJoin(F.broadcast(qv))
@@ -171,6 +178,14 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+@register("hybrid_rrf_search", oracle=_RRF_ORACLE)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K documents by reciprocal-rank fusion of the BM25 lexical
+    ranking (QUERY_TERMS) and the cosine semantic ranking against
+    QUERY_VEC_ID's embedding."""
+    lex = _lex_ranks(spark, sf_dir)
+    sem = _sem_ranks(spark, sf_dir)
     fused = (
         lex.join(sem, "doc_id", "full_outer")
         .select(
@@ -184,3 +199,92 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(TOP_K)
+
+
+#: RBO persistence parameter and evaluation depth (Webber, Moffat &
+#: Zobel, TOIS 2010: p = 0.9 weights the top ranks; depth 10 covers the
+#: first page). Weights are Python-computed literals inlined into BOTH
+#: engines, so no cross-engine pow() enters the arithmetic.
+RBO_P = 0.9
+RBO_DEPTH = 10
+_RBO_W = [(1 - RBO_P) * RBO_P ** (d - 1) for d in range(1, RBO_DEPTH + 1)]
+#: SQL spelling with explicit DOUBLE casts — DuckDB parses bare decimal
+#: literals as DECIMAL, which must not enter the weight arithmetic
+_RBO_W_SQL = "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _RBO_W) + "]"
+
+_RBO_ORACLE = f"""
+WITH {_LEGS_CTE},
+pairs AS (
+  SELECT greatest(lex.lex_rank, sem.sem_rank) AS d_at
+  FROM lex JOIN sem USING (doc_id)
+  WHERE lex.lex_rank <= {RBO_DEPTH} AND sem.sem_rank <= {RBO_DEPTH}
+),
+depths AS (
+  SELECT d.depth, ({_RBO_W_SQL})[d.depth] AS w
+  FROM (SELECT unnest(generate_series(1, {RBO_DEPTH})) AS depth) d
+),
+agree AS (
+  SELECT depths.depth, depths.w,
+         CAST(count(pairs.d_at) AS BIGINT) AS n_overlap
+  FROM depths LEFT JOIN pairs ON pairs.d_at <= depths.depth
+  GROUP BY depths.depth, depths.w
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       n_overlap,
+       CAST(n_overlap AS DOUBLE) / depth AS agreement,
+       w * (CAST(n_overlap AS DOUBLE) / depth) AS rbo_partial,
+       sum(w * (CAST(n_overlap AS DOUBLE) / depth))
+         OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING) AS rbo_cum
+FROM agree
+ORDER BY depth
+"""
+
+
+@register("rank_overlap_rbo", oracle=_RBO_ORACLE)
+def rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the lexical and semantic legs — the
+    standard top-weighted agreement measure for comparing two rankings
+    of the same corpus (Webber et al., TOIS 2010). Per depth d ≤ 10:
+    the overlap |top-d(BM25) ∩ top-d(cosine)|, the agreement overlap/d,
+    its (1−p)p^(d−1) contribution, and the running RBO_min. A hybrid
+    search whose legs already agree (high RBO) gains little from RRF
+    fusion; low RBO is where fusion pays.
+
+    Scale: both legs are the RANK_DEPTH-truncated frames fusion uses;
+    everything after them operates on ≤ 2·RANK_DEPTH rows (the depth
+    table is 10 rows, the theta join ≤ 10×10) — cost is the legs
+    themselves. The running sum's add order is the depth order in both
+    engines, so the doubles agree bit-for-bit."""
+    lex = _lex_ranks(spark, sf_dir)
+    sem = _sem_ranks(spark, sf_dir)
+    pairs = (
+        lex.join(sem, "doc_id")
+        .filter((F.col("lex_rank") <= RBO_DEPTH) & (F.col("sem_rank") <= RBO_DEPTH))
+        .select(F.greatest("lex_rank", "sem_rank").alias("d_at"))
+    )
+    warr = F.array(*[F.lit(w) for w in _RBO_W])
+    depths = spark.range(1, RBO_DEPTH + 1).select(
+        F.col("id").alias("depth"),
+        F.element_at(warr, F.col("id").cast("int")).alias("w"),
+    )
+    agree = (
+        depths.join(F.broadcast(pairs), F.col("d_at") <= F.col("depth"), "left")
+        .groupBy("depth", "w")
+        .agg(F.count("d_at").cast("bigint").alias("n_overlap"))
+    )
+    agreement = F.col("n_overlap").cast("double") / F.col("depth")
+    return (
+        agree.select(
+            F.col("depth").cast("bigint").alias("depth"),
+            "n_overlap",
+            agreement.alias("agreement"),
+            (F.col("w") * agreement).alias("rbo_partial"),
+        )
+        .withColumn(
+            "rbo_cum",
+            F.sum("rbo_partial").over(
+                Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .orderBy("depth")
+    )

@@ -450,3 +450,14 @@ def test_truncation_recall_broadcasts_queries(spark, sf_dir):
     plan = _plan(embedding_truncation_recall(spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rbo_legs_truncate_before_ranking(spark, sf_dir):
+    """Both retrieval legs must plan the RANK_DEPTH cut as a bounded
+    per-partition heap (TakeOrderedAndProject), and the depth theta
+    join must broadcast the tiny pair frame."""
+    from cdc_stream_batch_etl_spark.similarity.fusion import rank_overlap_rbo
+
+    plan = _plan(rank_overlap_rbo(spark, sf_dir), "simple")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
