@@ -61,6 +61,7 @@ ROWS_ONLY: dict[str, str] = {
 #: last six tuple entries sit past slot 50 and lead the r11 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
+    "erasure_cascade_audit",
     "rank_overlap_rbo",
     "l_diversity_report",
     "embedding_truncation_recall",
@@ -219,6 +220,7 @@ def load_all() -> None:
     from .operators import bootstrap  # noqa: F401  bootstrap_revenue_means — Poisson bootstrap replicates
     from .text import quantalign  # noqa: F401  source_quantile_align — cross-source quantile mapping
     from .similarity import matryoshka  # noqa: F401  embedding_truncation_recall — truncated-width recall@K
+    from .operators import erasure  # noqa: F401  erasure_cascade_audit — right-to-be-forgotten pre-flight
     # (l_diversity_report registers via the privacy import above;
     #  rank_overlap_rbo via the fusion import above)
 

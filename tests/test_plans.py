@@ -461,3 +461,13 @@ def test_rbo_legs_truncate_before_ranking(spark, sf_dir):
     plan = _plan(rank_overlap_rbo(spark, sf_dir), "simple")
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_erasure_audit_broadcasts_the_cohort(spark, sf_dir):
+    """Every fact join probes the broadcast subject/order-key frame —
+    no fact table ever shuffles on the join key."""
+    from cdc_stream_batch_etl_spark.operators.erasure import erasure_cascade_audit
+
+    plan = _plan(erasure_cascade_audit(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
