@@ -292,6 +292,13 @@ HEADLINE: list[str] = [
     "embedding_top_direction",
     "embedding_isotropy_report",
     "winnow_match_spans",
+    "zorder_file_skipping",
+    "bootstrap_revenue_means",
+    "source_quantile_align",
+    "l_diversity_report",
+    "embedding_truncation_recall",
+    "rank_overlap_rbo",
+    "erasure_cascade_audit",
 ]
 
 

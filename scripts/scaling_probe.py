@@ -69,7 +69,14 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "orderkey_islands", "ab_test_zscores", "cohort_ltv_curves",
           "order_status_streaks", "rfm_scores", "market_concentration_hhi",
           "weekday_seasonality", "spend_gini", "duplicate_order_pairs",
-          "new_vs_returning_revenue"]
+          "new_vs_returning_revenue",
+          # round 10
+          "chunk_dedup_ledger", "image_phash_near_pairs",
+          "embedding_top_direction", "embedding_isotropy_report",
+          "winnow_match_spans", "zorder_file_skipping",
+          "bootstrap_revenue_means", "source_quantile_align",
+          "l_diversity_report", "embedding_truncation_recall",
+          "rank_overlap_rbo", "erasure_cascade_audit"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
