@@ -246,15 +246,41 @@ def resolve_table_path(spark: SparkSession, path: str) -> str:
 def load_versioned(spark: SparkSession, path: str) -> DataFrame:
     """Reader for compaction-managed tables: resolve the newest
     committed version, scan, and re-resolve + retry ONCE if the
-    resolved version was retired mid-read (a reader survives one
-    concurrent compaction by the retain-previous rule; surviving two
-    needs this re-resolve)."""
+    resolved version was retired between listing and schema resolution.
+
+    Contract: the returned DataFrame is LAZY and pinned to the resolved
+    version directory. The retain-two-generations rule keeps that
+    directory alive through the entire next compaction and up to the
+    retirement step of the one after, so any action launched within
+    one full compaction cycle of the resolve is safe. An action
+    deferred across TWO OR MORE completed compactions can hit the
+    retired directory at run time — a failure this function cannot
+    intercept (the action happens outside it); such long-lived readers
+    should run through ``with_versioned_retry``, which re-resolves and
+    reruns the action on the fresh snapshot."""
     try:
         df = spark.read.parquet(resolve_table_path(spark, path))
         df.schema  # force resolution now, while the version is live
         return df
     except Exception:
         return spark.read.parquet(resolve_table_path(spark, path))
+
+
+def with_versioned_retry(spark: SparkSession, path: str, action):
+    """Run ``action(df)`` against the newest committed version and, if
+    the pinned version is retired mid-action (the reader slept through
+    ≥ 2 compactions), re-resolve ONCE and rerun on the fresh snapshot.
+
+    This is the action-time completion of load_versioned's resolve-time
+    retry: together they give a reader loop the full "never errors, any
+    number of concurrent compactions" contract
+    (tests/test_compaction.py::test_reader_never_errors_during_compaction).
+    The rerun sees the NEWER snapshot — same rows-equivalence the
+    compaction guarantees, so any idempotent read action is safe."""
+    try:
+        return action(spark.read.parquet(resolve_table_path(spark, path)))
+    except Exception:
+        return action(spark.read.parquet(resolve_table_path(spark, path)))
 
 
 def compact_partitions(

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from .linalg import dot as _dot
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10: the repo's fixed ANN benchmark query set
@@ -68,10 +69,6 @@ LEFT JOIN (SELECT * FROM trunc_rank WHERE rank <= {TOP_K}) t
 GROUP BY f.query_id
 ORDER BY f.query_id
 """
-
-
-def _dot(a: str, b: str) -> F.Column:
-    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)")
 
 
 def _topk(q: DataFrame, c: DataFrame) -> DataFrame:

@@ -65,8 +65,13 @@ def main() -> None:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     t_old = sum(old[n] for n in both)
     t_new = sum(new[n] for n in both)
-    print(f"shared-set total: {t_old:.1f}s -> {t_new:.1f}s "
-          f"({(t_new / t_old - 1) * 100:+.1f}%)")
+    if t_old > 0:
+        print(f"shared-set total: {t_old:.1f}s -> {t_new:.1f}s "
+              f"({(t_new / t_old - 1) * 100:+.1f}%)")
+    else:
+        # disjoint ledgers (e.g. a smoke artifact vs the full record):
+        # nothing shared to compare — still a clean exit, not a traceback
+        print("shared-set total: no overlapping queries")
     sys.exit(1 if regressions else 0)
 
 

@@ -1,9 +1,11 @@
 """Small-file compaction: a fragmented table (many tiny files — the
 post-streaming-merge shape) compacts to the byte-budget file count,
 preserving rows, values and hive partitioning — committed via the
-manifest-pointer protocol (write a fresh _vN dir, atomically replace
-the _CURRENT pointer), so a concurrent reader never observes a missing
-or half-written table."""
+immutable commit-marker protocol (write a fresh _vN dir, then CREATE
+the empty _commit_N marker; markers are only ever created or deleted
+whole, never rewritten — the interim single-pointer _CURRENT scheme is
+swept as debris), so a concurrent reader never observes a missing or
+half-written table."""
 
 import os
 import shutil
@@ -15,6 +17,7 @@ from cdc_stream_batch_etl_spark.catalog import (
     compact_partitions,
     load_versioned,
     resolve_table_path,
+    with_versioned_retry,
 )
 
 
@@ -165,9 +168,12 @@ def test_version_retention_and_pointer_resolution(spark, tmp_path):
 
 def test_reader_never_errors_during_compaction(spark, tmp_path):
     """THE reader-safety contract the two-rename swap could not give: a
-    reader loop (resolve pointer → scan → count) running concurrently
+    reader loop (resolve markers → scan → count) running concurrently
     with repeated compactions must never error and must always see the
-    complete table."""
+    complete table. The loop reads through with_versioned_retry — the
+    documented contract for actions that may sleep through ≥ 2
+    compactions (retain-two-generations covers one; the action-time
+    re-resolve covers the rest)."""
     path = str(tmp_path / "live")
     spark.range(2_000).select(
         F.col("id"), (F.col("id") % 7).alias("v")
@@ -180,7 +186,9 @@ def test_reader_never_errors_during_compaction(spark, tmp_path):
     def reader():
         while not stop.is_set():
             try:
-                counts.append(load_versioned(spark, path).count())
+                counts.append(
+                    with_versioned_retry(spark, path, lambda df: df.count())
+                )
             except Exception as ex:  # noqa: BLE001 — the test IS the catch
                 errors.append(repr(ex))
                 return

@@ -70,12 +70,11 @@ def test_bootstrap_replicates_center_on_true_mean(spark, sf_dir):
     true_mean = orders.agg(F.avg("o_totalprice")).first()[0]
     boot_means = [r["boot_mean"] for r in rows]
     est = sum(boot_means) / len(boot_means)
-    # Poisson(1) resample of n rows: SE of the replicate mean ~ sd/sqrt(n);
-    # the mean of 32 replicates sits well within 5 SE of the truth
+    # Poisson(1) resample of n rows: SE of one replicate mean ~ sd/sqrt(n),
+    # replicates draw independent weights, so the mean of R replicates
+    # sits within 5 * sd/sqrt(n)/sqrt(R) of the sample mean
     sd = orders.agg(F.stddev("o_totalprice")).first()[0]
-    assert abs(est - true_mean) < 5 * sd / math.sqrt(n) / math.sqrt(len(boot_means)) * math.sqrt(
-        len(boot_means)
-    )
+    assert abs(est - true_mean) < 5 * sd / math.sqrt(n) / math.sqrt(len(boot_means))
     # each replicate draws ~n rows (Poisson(1) weight sum concentrates)
     for r in rows:
         assert abs(r["n_sampled"] - n) < 6 * math.sqrt(n)
