@@ -33,7 +33,10 @@ of this stdout — BENCH_r09.json preserved 64 of 228 timings. Every run
 therefore also writes the full per-query ledger (seconds + cohort id)
 to ``bench_ledger.json`` at the repo root ($SPARK_GRAFT_BENCH_LEDGER to
 override); the stdout JSON ends with the ``ledger_file`` pointer so the
-surviving tail always says where the complete record lives.
+surviving tail always says where the complete record lives. A PARTIAL
+run (overridden HEADLINE / anything short of the full registry)
+defaults to ``bench_ledger.partial.json`` (gitignored) instead, so a
+smoke can never clobber the committed full-registry artifact.
 """
 
 from __future__ import annotations
@@ -487,9 +490,15 @@ def main() -> None:
     # The full per-query ledger is written to the repo as an artifact
     # each run; the stdout JSON carries only the pointer, placed LAST in
     # the dict so tail truncation cannot drop it.
+    # Partial runs (a smoke with an overridden HEADLINE, or any set
+    # smaller than the full registry) must never clobber the committed
+    # full-registry artifact: they default to a .partial sidecar unless
+    # the caller pins a path explicitly.
+    full_run = set(names) >= set(registry.QUERIES)
+    default_name = "bench_ledger.json" if full_run else "bench_ledger.partial.json"
     ledger_path = os.environ.get(
         "SPARK_GRAFT_BENCH_LEDGER",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_ledger.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
     with open(ledger_path, "w") as f:
         json.dump(
