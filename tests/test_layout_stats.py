@@ -89,3 +89,106 @@ def test_quantile_align_deciles_monotone(spark, sf_dir):
         ordered = [v for _, v in sorted(vals)]
         assert len(ordered) == 9
         assert ordered == sorted(ordered)
+
+
+def test_spread_random_parity_three_engines(spark):
+    """Randomized sweep: the Morton spread expression evaluates
+    identically in Spark, DuckDB, and the pure-Python reference over
+    random 16-bit inputs — one batch per engine, not per-example."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(4099)
+    vals = sorted({rng.randrange(0, 1 << 16) for _ in range(200)})
+    sdf = spark.createDataFrame([(v,) for v in vals], "x bigint").select(
+        "x", F.expr(_spread_sql("x")).alias("s")
+    )
+    got_spark = {r["x"]: r["s"] for r in sdf.collect()}
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            f"SELECT x, {_spread_sql('x')} FROM (SELECT unnest({vals}) AS x)"
+        ).fetchall()
+    )
+    for v in vals:
+        want = _py_spread(v)
+        assert got_spark[v] == want, v
+        assert got_duck[v] == want, v
+
+
+def test_bootstrap_weights_random_parity_three_engines(spark):
+    """Randomized sweep: the hash-seeded Poisson weight is identical in
+    Spark, DuckDB, and a hashlib-based pure-Python reference for random
+    (orderkey, replicate) pairs — the draw is pure integer compares, so
+    any divergence is a hashing/threshold spelling bug."""
+    import hashlib
+    import random
+
+    import duckdb
+
+    from cdc_stream_batch_etl_spark.operators.bootstrap import (
+        _H40_SPARK,
+        _H40_SQL,
+        _w_cases,
+    )
+
+    rng = random.Random(271828)
+    pairs = sorted({(rng.randrange(1, 10**9), rng.randrange(0, 32)) for _ in range(150)})
+
+    def py_w(k: int, r: int) -> int:
+        h = int(hashlib.md5(f"{k}:{r}".encode()).hexdigest()[:10], 16)
+        return sum(h >= t for t in _THRESHOLDS)
+
+    sdf = spark.createDataFrame(pairs, "o_orderkey bigint, replicate int").select(
+        "o_orderkey",
+        "replicate",
+        F.expr(_w_cases(_H40_SPARK)).alias("w"),
+    )
+    got_spark = {(r["o_orderkey"], r["replicate"]): r["w"] for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (SELECT "
+        "unnest(?) AS o_orderkey, unnest(?) AS replicate)",
+        [[k for k, _ in pairs], [r for _, r in pairs]],
+    )
+    got_duck = {
+        (k, r): w
+        for k, r, w in con.execute(
+            f"SELECT o_orderkey, replicate, {_w_cases(_H40_SQL)} FROM p"
+        ).fetchall()
+    }
+    for k, r in pairs:
+        want = py_w(k, r)
+        assert got_spark[(k, r)] == want, (k, r)
+        assert got_duck[(k, r)] == want, (k, r)
+
+
+def test_balance_band_parity_on_negatives(spark):
+    """The l-diversity balance band shifts cents positive BEFORE the
+    integer division because Spark `div` truncates toward zero while
+    DuckDB `//` floors — random balances dense around zero (the exact
+    divergence zone) must band identically in both engines."""
+    import random
+
+    import duckdb
+
+    from cdc_stream_batch_etl_spark.operators.privacy import _BAND_SPARK, _BAND_SQL
+
+    rng = random.Random(1729)
+    bals = sorted(
+        {round(rng.uniform(-999.99, 9999.99), 2) for _ in range(200)}
+        | {-999.99, -0.01, 0.0, 0.01, 1999.99, 2000.0, 9999.99}
+    )
+    sdf = spark.createDataFrame([(b,) for b in bals], "c_acctbal double").select(
+        "c_acctbal", F.expr(_BAND_SPARK).alias("band")
+    )
+    got_spark = {r["c_acctbal"]: r["band"] for r in sdf.collect()}
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            f"SELECT c_acctbal, {_BAND_SQL} FROM (SELECT unnest({bals}::DOUBLE[]) AS c_acctbal)"
+        ).fetchall()
+    )
+    for b in bals:
+        assert got_spark[b] == got_duck[b], b
