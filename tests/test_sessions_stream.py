@@ -15,7 +15,9 @@ from cdc_stream_batch_etl_spark.streaming.sessions_stream import (
 )
 
 
-def test_sessions_stream_matches_batch_on_sealed_sessions(spark, tmp_path, sf_dir):
+def test_sessions_stream_matches_batch_on_sealed_sessions(
+    spark, tmp_path, sf_dir, state_provider
+):
     events = load_table(spark, sf_dir, "events")
     key = lambda r: (  # noqa: E731
         r.user_id, r.session_start, r.session_end, r.n_events,
@@ -35,16 +37,23 @@ def test_sessions_stream_matches_batch_on_sealed_sessions(spark, tmp_path, sf_di
         .option("maxFilesPerTrigger", "1")
         .parquet(src + "/batch_*")
     )
+    ckpt = str(tmp_path / "ckpt")
     q = (
         user_sessions_stream(stream_src)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("sessions_out")
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
     stream = {key(r) for r in spark.sql("SELECT * FROM sessions_out").collect()}
+    # the applyInPandasWithState session state actually lives in the
+    # requested provider (misspelled conf silently falls back)
+    from tests.conftest import assert_state_provider_engaged
+
+    assert_state_provider_engaged(ckpt, state_provider)
 
     # nothing streams that the batch run doesn't produce
     assert stream <= batch, sorted(stream - batch)[:3]
