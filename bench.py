@@ -302,6 +302,7 @@ HEADLINE: list[str] = [
     "embedding_truncation_recall",
     "rank_overlap_rbo",
     "erasure_cascade_audit",
+    "postings_compression_plan",
 ]
 
 

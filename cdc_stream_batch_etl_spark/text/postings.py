@@ -70,3 +70,85 @@ def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("posting"),
         )
     )
+
+
+#: terms below this document frequency are excluded from the sizing
+#: report (their lists are a doc_id apiece — noise rows, not storage)
+MIN_DF = 2
+
+# VByte length of v (1..5 bytes for v < 2^35): branch-free comparison sum,
+# identical integer comparisons in both engines
+_VB_SPARK = (
+    "(1 + cast(gap >= 128 as int) + cast(gap >= 16384 as int)"
+    " + cast(gap >= 2097152 as int) + cast(gap >= 268435456 as int))"
+)
+_VB_SQL = (
+    "(1 + (gap >= 128)::INT + (gap >= 16384)::INT"
+    " + (gap >= 2097152)::INT + (gap >= 268435456)::INT)"
+)
+
+_COMPRESSION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT token, doc_id FROM tok GROUP BY token, doc_id
+), gaps AS (
+  SELECT token,
+         doc_id - lag(doc_id, 1, -1) OVER (PARTITION BY token ORDER BY doc_id)
+           AS gap
+  FROM tf
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+       CAST(sum({_VB_SQL}) AS BIGINT) AS vbyte_bytes,
+       CAST(sum({_VB_SQL}) AS DOUBLE) / (8 * count(*)) AS compression_ratio
+FROM gaps
+GROUP BY token
+HAVING count(*) >= {MIN_DF}
+ORDER BY token
+"""
+
+
+@register("postings_compression_plan", oracle=_COMPRESSION_ORACLE)
+def postings_compression_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index storage sizing: per term, the exact VByte cost of the
+    d-gap-encoded posting list vs raw 64-bit doc_ids (the standard
+    inverted-index compression model — Witten/Moffat/Bell's gap+VByte;
+    Scholer et al., SIGIR 2002). The terms where compression_ratio
+    stays near 1 are the rare-term long tail (gaps ≈ id magnitude);
+    dense stopword-class terms compress toward 1/8 — this report is
+    how an index-build pass budgets storage BEFORE encoding anything.
+
+    The first gap is doc_id − (−1) = doc_id + 1, the store-first-raw
+    convention with a strictly positive value even for doc_id 0.
+
+    Plan: one shuffle on the term (the tf dedup, the lag window, and
+    the final agg share the token partitioning — same single-Exchange
+    shape as term_postings); all arithmetic is integer comparisons
+    plus one IEEE division by an exact integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("token", "doc_id")
+        .distinct()
+    )
+    gap = (
+        F.col("doc_id")
+        - F.lag("doc_id", 1, -1).over(Window.partitionBy("token").orderBy("doc_id"))
+    ).alias("gap")
+    vb = F.expr(_VB_SPARK)
+    return (
+        tf.select("token", gap)
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            (F.lit(8) * F.count("*")).cast("bigint").alias("raw_bytes"),
+            F.sum(vb).cast("bigint").alias("vbyte_bytes"),
+            (F.sum(vb).cast("double") / (F.lit(8) * F.count("*"))).alias(
+                "compression_ratio"
+            ),
+        )
+        .filter(F.col("df") >= MIN_DF)
+        .orderBy("token")
+    )

@@ -471,3 +471,17 @@ def test_erasure_audit_broadcasts_the_cohort(spark, sf_dir):
     plan = _plan(erasure_cascade_audit(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_postings_compression_single_token_exchange(spark, sf_dir):
+    """The tf dedup, the gap window, and the final agg all key on the
+    token — Catalyst must plan them on ONE token exchange (the
+    term_postings shape); no join anywhere."""
+    from cdc_stream_batch_etl_spark.text.postings import postings_compression_plan
+
+    plan = _plan(postings_compression_plan(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
+        "Exchange hashpartitioning"
+    )
