@@ -303,6 +303,7 @@ HEADLINE: list[str] = [
     "rank_overlap_rbo",
     "erasure_cascade_audit",
     "postings_compression_plan",
+    "binned_quantiles_by_type",
 ]
 
 

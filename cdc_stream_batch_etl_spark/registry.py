@@ -62,6 +62,7 @@ ROWS_ONLY: dict[str, str] = {
 #: last ten tuple entries sit past slot 50 and lead the r11 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
+    "binned_quantiles_by_type",
     "postings_compression_plan",
     "erasure_cascade_audit",
     "rank_overlap_rbo",
