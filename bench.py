@@ -304,6 +304,7 @@ HEADLINE: list[str] = [
     "erasure_cascade_audit",
     "postings_compression_plan",
     "binned_quantiles_by_type",
+    "neyman_allocation_plan",
 ]
 
 

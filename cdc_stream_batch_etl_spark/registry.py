@@ -62,6 +62,7 @@ ROWS_ONLY: dict[str, str] = {
 #: last ten tuple entries sit past slot 50 and lead the r11 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
+    "neyman_allocation_plan",
     "binned_quantiles_by_type",
     "postings_compression_plan",
     "erasure_cascade_audit",
@@ -225,6 +226,7 @@ def load_all() -> None:
     from .similarity import matryoshka  # noqa: F401  embedding_truncation_recall — truncated-width recall@K
     from .operators import erasure  # noqa: F401  erasure_cascade_audit — right-to-be-forgotten pre-flight
     # (postings_compression_plan registers via the postings import below)
+    from .text import neyman  # noqa: F401  neyman_allocation_plan — variance-optimal stratified sizing
     # (l_diversity_report registers via the privacy import above;
     #  rank_overlap_rbo via the fusion import above)
 

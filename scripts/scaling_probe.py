@@ -77,7 +77,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "bootstrap_revenue_means", "source_quantile_align",
           "l_diversity_report", "embedding_truncation_recall",
           "rank_overlap_rbo", "erasure_cascade_audit",
-          "postings_compression_plan", "binned_quantiles_by_type"]
+          "postings_compression_plan", "binned_quantiles_by_type",
+          "neyman_allocation_plan"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently

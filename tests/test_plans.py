@@ -485,3 +485,15 @@ def test_postings_compression_single_token_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_neyman_folds_strata_broadcast(spark, sf_dir):
+    """One corpus hash-agg to stratum rows; the weight total folds the
+    sorted stratum array and broadcasts back — no window over the
+    corpus, no sort-merge join."""
+    from cdc_stream_batch_etl_spark.text.neyman import neyman_allocation_plan
+
+    plan = _plan(neyman_allocation_plan(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 2  # stats pass + fold pass
