@@ -305,6 +305,7 @@ HEADLINE: list[str] = [
     "postings_compression_plan",
     "binned_quantiles_by_type",
     "neyman_allocation_plan",
+    "split_leakage_report",
 ]
 
 

@@ -64,6 +64,7 @@ ROWS_ONLY: dict[str, str] = {
 #: rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
+    "split_leakage_report",
     "neyman_allocation_plan",
     "binned_quantiles_by_type",
     "postings_compression_plan",
@@ -229,6 +230,7 @@ def load_all() -> None:
     from .operators import erasure  # noqa: F401  erasure_cascade_audit — right-to-be-forgotten pre-flight
     # (postings_compression_plan registers via the postings import below)
     from .text import neyman  # noqa: F401  neyman_allocation_plan — variance-optimal stratified sizing
+    from .text import leakage  # noqa: F401  split_leakage_report — near-dups straddling the split
     # (l_diversity_report registers via the privacy import above;
     #  rank_overlap_rbo via the fusion import above)
 

@@ -497,3 +497,18 @@ def test_neyman_folds_strata_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == 2  # stats pass + fold pass
+
+
+def test_split_leakage_adds_no_join_to_pairs(spark, sf_dir):
+    """The split labels are scan-local md5 arithmetic on the pair rows —
+    the audit's plan contains exactly the LSH pair subtree's joins (the
+    candidate→shingle verification joins) and no split-assignment join;
+    documents is scanned as often as lsh_pairs alone scans it."""
+    from cdc_stream_batch_etl_spark.dedup.minhash import lsh_pairs
+    from cdc_stream_batch_etl_spark.catalog import load_table
+    from cdc_stream_batch_etl_spark.text.leakage import split_leakage_report
+
+    base = _plan(lsh_pairs(load_table(spark, sf_dir, "documents")), "simple")
+    audit = _plan(split_leakage_report(spark, sf_dir), "simple")
+    assert audit.count("Scan parquet") == base.count("Scan parquet")
+    assert audit.count("Join") == base.count("Join")
