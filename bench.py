@@ -306,6 +306,7 @@ HEADLINE: list[str] = [
     "binned_quantiles_by_type",
     "neyman_allocation_plan",
     "split_leakage_report",
+    "four_step_path_counts",
 ]
 
 

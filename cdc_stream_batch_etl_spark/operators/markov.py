@@ -73,3 +73,84 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wp)
         ).alias("p_transition"),
     )
+
+
+#: matrix-power depth for the path-count operator
+PATH_K = 4
+
+_TRANS_CTE = """
+seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+m AS (
+  SELECT event_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+"""
+
+_PATHS_ORACLE = f"""
+WITH {_TRANS_CTE},
+md AS (SELECT a, b, CAST(n AS DECIMAL(19,0)) AS n FROM m),
+m2 AS (
+  SELECT x.a, y.b, CAST(sum(x.n * y.n) AS DECIMAL(38,0)) AS n
+  FROM md x JOIN md y ON x.b = y.a
+  GROUP BY 1, 2
+)
+SELECT x.a AS from_type, y.b AS to_type,
+       CAST(sum(x.n * y.n) AS DOUBLE) AS n_paths
+FROM m2 x JOIN m2 y ON x.b = y.a
+GROUP BY 1, 2
+ORDER BY from_type, to_type
+"""
+
+
+@register("four_step_path_counts", oracle=_PATHS_ORACLE)
+def four_step_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted {PATH_K}-step journey volume between event types: the
+    K-th power of the INTEGER transition-count matrix, where entry
+    (a, b) counts ordered 4-step transition chains a→·→·→·→b with
+    multiplicity (each step weighted by how often that edge occurs) —
+    the long-horizon companion of top_event_paths' exact 3-grams and
+    event_transitions' 1-step matrix. Because user journeys interleave,
+    this is the MARKOV composition of steps (edge multiplicities
+    multiply), the standard reachability-volume read on a transition
+    graph.
+
+    Determinism and magnitude: path volumes grow as count^K — already
+    past int64 at a 64× corpus — so the power runs in EXACT
+    decimal(38,0) arithmetic (the ABTT playbook: order-independent
+    integer sums, no floats in the fold) and only the final read-out
+    casts to double (exact to 2^53, correctly rounded beyond,
+    identically in both engines).
+
+    Plan: one user-keyed lead() window (the event_transitions shape),
+    then joins over the E×E ≤ 25-row matrix — broadcast by AQE, cost
+    invisible next to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("next_type").alias("b"))
+        .agg(F.count("*").cast("decimal(19,0)").alias("n"))
+    )
+
+    def _square(mat: DataFrame) -> DataFrame:
+        x = mat.select(F.col("a").alias("xa"), F.col("b").alias("xb"), F.col("n").alias("xn"))
+        y = mat.select(F.col("a").alias("ya"), F.col("b").alias("yb"), F.col("n").alias("yn"))
+        return (
+            x.join(y, F.col("xb") == F.col("ya"))
+            .groupBy(F.col("xa").alias("a"), F.col("yb").alias("b"))
+            .agg(F.sum(F.col("xn") * F.col("yn")).cast("decimal(38,0)").alias("n"))
+        )
+
+    m4 = _square(_square(m))
+    return m4.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.col("n").cast("double").alias("n_paths"),
+    ).orderBy("from_type", "to_type")

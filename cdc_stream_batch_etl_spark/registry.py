@@ -65,6 +65,7 @@ ROWS_ONLY: dict[str, str] = {
 #: rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
+    "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
     "binned_quantiles_by_type",

@@ -78,7 +78,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "l_diversity_report", "embedding_truncation_recall",
           "rank_overlap_rbo", "erasure_cascade_audit",
           "postings_compression_plan", "binned_quantiles_by_type",
-          "neyman_allocation_plan", "split_leakage_report"]
+          "neyman_allocation_plan", "split_leakage_report",
+          "four_step_path_counts"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
