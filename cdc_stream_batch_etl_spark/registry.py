@@ -48,9 +48,9 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r10 window: (a) first rows for the SIXTEEN queries NEW this round
-#: (split-leakage audit, Neyman sampling plan, binned quantiles,
-#: VByte postings sizing,
+#: r10 window: (a) first rows for the SEVENTEEN queries NEW this round
+#: (4-step path volumes, split-leakage audit, Neyman sampling plan,
+#: binned quantiles, VByte postings sizing,
 #: erasure cascade, RBO rank agreement, l-diversity, truncation
 #: recall, zorder layout report, Poisson bootstrap, quantile alignment,
 #: chunk-rewrite ledger, pHash multi-index pairs, the two ABTT
@@ -60,8 +60,8 @@ ROWS_ONLY: dict[str, str] = {
 #: length) and content_defined_chunks / chunk_dedup_report (FastCDC
 #: MIN/MAX chunk bounds); (b) the two change-sensitive sentinels; (c)
 #: staleness rotation — the r5 cohort (now the oldest driver rows). The
-#: new operators squeeze the rotation to 28 of the cohort's 42; the
-#: last fourteen tuple entries sit past slot 50 and lead the r11
+#: new operators squeeze the rotation to 27 of the cohort's 42; the
+#: last fifteen tuple entries sit past slot 50 and lead the r11
 #: rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
