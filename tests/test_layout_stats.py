@@ -192,3 +192,29 @@ def test_balance_band_parity_on_negatives(spark):
     )
     for b in bals:
         assert got_spark[b] == got_duck[b], b
+
+
+def test_percentile_interpolation_parity_random(spark):
+    """quantalign (and price_deciles before it) leans on Spark exact
+    `percentile` and DuckDB `quantile_cont` interpolating identically —
+    randomized sweep over rough integer samples (odd/even sizes, heavy
+    ties) at all nine deciles, bit-for-bit."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(9091)
+    qs = [i / 10 for i in range(1, 10)]
+    con = duckdb.connect()
+    for trial in range(12):
+        n = rng.choice([1, 2, 3, 7, 10, 101, 500])
+        vals = [rng.randrange(0, 50) for _ in range(n)]  # small range: ties
+        sdf = spark.createDataFrame([(v,) for v in vals], "x bigint").agg(
+            F.percentile(F.col("x"), F.array(*[F.lit(q) for q in qs])).alias("p")
+        )
+        got_spark = sdf.collect()[0]["p"]
+        got_duck = con.execute(
+            f"SELECT quantile_cont(x, {qs}) FROM (SELECT unnest({vals}) AS x)"
+        ).fetchone()[0]
+        for i, (a, b) in enumerate(zip(got_spark, got_duck)):
+            assert a == b, (trial, n, qs[i], a, b)
