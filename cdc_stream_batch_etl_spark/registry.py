@@ -65,6 +65,7 @@ ROWS_ONLY: dict[str, str] = {
 #: rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
+    "functional_dependency_audit",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -235,6 +236,7 @@ def load_all() -> None:
     from .text import leakage  # noqa: F401  split_leakage_report — near-dups straddling the split
     # (l_diversity_report registers via the privacy import above;
     #  rank_overlap_rbo via the fusion import above)
+    from .operators import fdaudit  # noqa: F401  functional_dependency_audit — declared-FD profiling
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
