@@ -66,6 +66,7 @@ ROWS_ONLY: dict[str, str] = {
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
     "functional_dependency_audit",
+    "retrieval_ndcg_eval",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -237,6 +238,7 @@ def load_all() -> None:
     # (l_diversity_report registers via the privacy import above;
     #  rank_overlap_rbo via the fusion import above)
     from .operators import fdaudit  # noqa: F401  functional_dependency_audit — declared-FD profiling
+    from .similarity import releval  # noqa: F401  retrieval_ndcg_eval — nDCG/precision/RR vs the semantic leg
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
