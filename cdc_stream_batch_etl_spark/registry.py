@@ -67,6 +67,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
     "functional_dependency_audit",
     "retrieval_ndcg_eval",
+    "heaps_law_fit",
+    "zipf_law_fit",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -239,6 +241,7 @@ def load_all() -> None:
     #  rank_overlap_rbo via the fusion import above)
     from .operators import fdaudit  # noqa: F401  functional_dependency_audit — declared-FD profiling
     from .similarity import releval  # noqa: F401  retrieval_ndcg_eval — nDCG/precision/RR vs the semantic leg
+    from .text import laws  # noqa: F401  heaps_law_fit, zipf_law_fit — corpus scaling-law diagnostics
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
