@@ -69,6 +69,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "retrieval_ndcg_eval",
     "heaps_law_fit",
     "zipf_law_fit",
+    "packing_waste_curve",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",

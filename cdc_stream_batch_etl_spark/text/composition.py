@@ -147,3 +147,121 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.floor(F.col("keep_rate") * 100).cast("bigint")
         ).alias("kept"),
     )
+
+
+#: context lengths evaluated by packing_waste_curve (powers of two:
+#: the usual training-sequence sizes, and exact in every division)
+CTX_LENGTHS = (128, 256, 512, 1024, 2048)
+
+_CTX_SQL = "[" + ", ".join(str(c) for c in CTX_LENGTHS) + "]"
+
+_WASTE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS start
+  FROM toks
+),
+percl AS (
+  SELECT c.source, l.ctx_len, c.n, c.start
+  FROM cum c, LATERAL unnest({_CTX_SQL}) l(ctx_len)
+)
+SELECT source,
+       CAST(ctx_len AS BIGINT) AS ctx_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum((n + ctx_len - 1) // ctx_len) AS BIGINT) AS padded_seqs,
+       CAST(sum((n + ctx_len - 1) // ctx_len) * ctx_len - sum(n) AS BIGINT)
+         AS pad_waste,
+       CAST(sum((n + ctx_len - 1) // ctx_len) * ctx_len - sum(n) AS DOUBLE)
+         / (sum((n + ctx_len - 1) // ctx_len) * ctx_len) AS pad_waste_share,
+       CAST(count(*) FILTER (WHERE n > ctx_len) AS BIGINT) AS trunc_docs,
+       CAST(sum(greatest(n - ctx_len, 0)) AS DOUBLE) / sum(n)
+         AS trunc_loss_share,
+       CAST((sum(n) + ctx_len - 1) // ctx_len AS BIGINT) AS packed_seqs,
+       CAST(count(*) FILTER (WHERE start // ctx_len <> (start + n - 1) // ctx_len)
+            AS BIGINT) AS straddled_docs,
+       CAST(count(*) FILTER (WHERE start // ctx_len <> (start + n - 1) // ctx_len)
+            AS DOUBLE) / count(*) AS straddle_share
+FROM percl
+GROUP BY source, ctx_len
+ORDER BY source, ctx_len
+"""
+
+
+@register("packing_waste_curve", oracle=_WASTE_ORACLE)
+def packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length selection report: per (source, ctx_len in 128..
+    2048) the cost of each sequence-construction policy — doc-per-
+    sequence padding (padded_seqs, pad_waste, pad_waste_share),
+    truncate-at-L (trunc_docs, trunc_loss_share), and contiguous stream
+    packing (packed_seqs, straddled_docs = documents split across a
+    sequence boundary under pack_sequences' greedy binning). The table
+    a pipeline reads to pick its training context length: padding waste
+    falls with L while straddle-split damage rises, and the knee is the
+    answer.
+
+    Determinism: every measure is exact BIGINT arithmetic (ceil spelled
+    (n + L - 1) div L); the three shares are single IEEE divisions of
+    exact integers.
+
+    Scale: one doc-level cumsum window per source (the pack_sequences
+    posture — doc-count rows, not tokens), a 5-way scan-local explode,
+    one hash agg on (source, ctx_len). No token-level shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("start", F.sum("n").over(w) - F.col("n"))
+    percl = cum.select(
+        "source",
+        "n",
+        "start",
+        F.explode(
+            F.array(*[F.lit(c).cast("bigint") for c in CTX_LENGTHS])
+        ).alias("ctx_len"),
+    )
+    L = F.col("ctx_len")
+    padded = F.sum(F.expr("(n + ctx_len - 1) div ctx_len"))
+    straddle = F.count(
+        F.when(
+            F.expr("start div ctx_len") != F.expr("(start + n - 1) div ctx_len"),
+            1,
+        )
+    )
+    return (
+        percl.groupBy("source", "ctx_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            padded.cast("bigint").alias("padded_seqs"),
+            (padded * L - F.sum("n")).cast("bigint").alias("pad_waste"),
+            (
+                (padded * L - F.sum("n")).cast("double") / (padded * L)
+            ).alias("pad_waste_share"),
+            F.count(F.when(F.col("n") > L, 1)).cast("bigint").alias("trunc_docs"),
+            (
+                F.sum(F.greatest(F.col("n") - L, F.lit(0))).cast("double")
+                / F.sum("n")
+            ).alias("trunc_loss_share"),
+            F.expr("(sum(n) + ctx_len - 1) div ctx_len")
+            .cast("bigint")
+            .alias("packed_seqs"),
+            straddle.cast("bigint").alias("straddled_docs"),
+            (straddle.cast("double") / F.count("*")).alias("straddle_share"),
+        )
+        .orderBy("source", "ctx_len")
+    )

@@ -105,3 +105,36 @@ def test_contamination_real_corpus_has_signal(spark, sf_dir):
     ).first()
     assert agg.n > 0 and 0.0 <= agg.mn and agg.mx <= 1.0
     assert agg.bad > 0  # the corpus's planted dups cross the split
+
+
+def test_packing_waste_curve_planted(spark):
+    """Hand-computed curve on three docs of 100/200/50 tokens."""
+    import cdc_stream_batch_etl_spark.text.composition as comp
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", " ".join(["w"] * 100)),
+            (2, "s", " ".join(["w"] * 200)),
+            (3, "s", " ".join(["w"] * 50)),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    orig = comp.load_table
+    try:
+        comp.load_table = lambda s, d, t: docs  # noqa: ARG005
+        out = {r.ctx_len: r for r in comp.packing_waste_curve(spark, "x").collect()}
+    finally:
+        comp.load_table = orig
+    r = out[128]
+    assert r.n_docs == 3 and r.total_tokens == 350
+    # ceil(100/128)+ceil(200/128)+ceil(50/128) = 1+2+1
+    assert r.padded_seqs == 4 and r.pad_waste == 4 * 128 - 350
+    assert r.pad_waste_share == (4 * 128 - 350) / (4 * 128)
+    assert r.trunc_docs == 1  # the 200-token doc
+    assert r.trunc_loss_share == (200 - 128) / 350
+    assert r.packed_seqs == 3  # ceil(350/128)
+    # starts 0/100/300: only the 200-token doc crosses a 128 boundary
+    assert r.straddled_docs == 1 and r.straddle_share == 1 / 3
+    r2 = out[2048]
+    assert r2.padded_seqs == 3 and r2.packed_seqs == 1
+    assert r2.straddled_docs == 0 and r2.trunc_docs == 0
