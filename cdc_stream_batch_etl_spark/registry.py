@@ -70,6 +70,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "heaps_law_fit",
     "zipf_law_fit",
     "packing_waste_curve",
+    "multi_touch_attribution",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -243,6 +244,7 @@ def load_all() -> None:
     from .operators import fdaudit  # noqa: F401  functional_dependency_audit — declared-FD profiling
     from .similarity import releval  # noqa: F401  retrieval_ndcg_eval — nDCG/precision/RR vs the semantic leg
     from .text import laws  # noqa: F401  heaps_law_fit, zipf_law_fit — corpus scaling-law diagnostics
+    from .operators import attribution  # noqa: F401  multi_touch_attribution — linear/U-shaped credit
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
