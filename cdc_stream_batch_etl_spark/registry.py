@@ -71,6 +71,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "zipf_law_fit",
     "packing_waste_curve",
     "multi_touch_attribution",
+    "minhash_threshold_sweep",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -245,6 +246,7 @@ def load_all() -> None:
     from .similarity import releval  # noqa: F401  retrieval_ndcg_eval — nDCG/precision/RR vs the semantic leg
     from .text import laws  # noqa: F401  heaps_law_fit, zipf_law_fit — corpus scaling-law diagnostics
     from .operators import attribution  # noqa: F401  multi_touch_attribution — linear/U-shaped credit
+    from .dedup import threshold_sweep  # noqa: F401  minhash_threshold_sweep — LSH S-curve calibration
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
