@@ -26,6 +26,8 @@ operators/funnel.py and sessions.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -154,3 +156,100 @@ def four_step_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("to_type"),
         F.col("n").cast("double").alias("n_paths"),
     ).orderBy("from_type", "to_type")
+
+
+#: ln 2 as a Python literal inlined into both engines — entropy in bits
+_LN2 = repr(math.log(2.0))
+
+_ENTROPY_ORACLE = f"""
+WITH {_TRANS_CTE},
+probs AS (
+  SELECT a AS prev_type, b AS next_type, n,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY a) AS p
+  FROM m
+),
+ranked AS (
+  SELECT prev_type, next_type, n, p,
+         p * ln(p) AS term,
+         row_number() OVER (PARTITION BY prev_type
+                            ORDER BY n DESC, next_type) AS rnk
+  FROM probs
+)
+SELECT prev_type,
+       CAST(sum(n) AS BIGINT) AS n_transitions,
+       CAST(count(*) AS BIGINT) AS n_next_types,
+       max(CASE WHEN rnk = 1 THEN next_type END) AS top_next_type,
+       max(CASE WHEN rnk = 1 THEN p END) AS top_share,
+       round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY next_type)), (a, b) -> a + b)
+             / CAST('{_LN2}' AS DOUBLE), 9) AS entropy_bits,
+       round(exp(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY next_type)), (a, b) -> a + b)), 9)
+         AS perplexity
+FROM ranked
+GROUP BY prev_type
+ORDER BY prev_type
+"""
+
+
+@register("transition_entropy", oracle=_ENTROPY_ORACLE)
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per previous event type: how predictable is the next step —
+    Shannon entropy (bits) and perplexity (effective branching factor,
+    e^H) of the next-type distribution, with the modal next step and
+    its share. The summary row analysts read OVER event_transitions'
+    full matrix: entropy ≈ log2(|types|) means behavior after that
+    event is noise; entropy ≈ 0 means a deterministic funnel edge.
+
+    Determinism: p is an exact integer ratio; p·ln(p) terms fold in
+    explicit next_type order (the centroids idiom — ln differs across
+    engines in the last ulp) and entropy/perplexity export rounded to
+    9 decimals (tfidf convention); ln 2 is a Python literal, so no
+    cross-engine log2 enters. top_share re-reads the rank-1 row's p —
+    a raw division, exported unrounded.
+
+    Scale: the event_transitions plan (one user-keyed lead window, one
+    tiny hash-agg) plus per-prev-type folds over ≤ |types| elements."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    probs = pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
+    )
+    ranked = probs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        "p",
+        (F.col("p") * F.log("p")).alias("term"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("n"), "next_type"))
+        .alias("rnk"),
+    )
+    fold = F.expr(
+        "aggregate(array_sort(collect_list(struct(next_type, term))), 0.0D, "
+        "(acc, e) -> acc + e.term)"
+    )
+    return (
+        ranked.groupBy("prev_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_transitions"),
+            F.count("*").cast("bigint").alias("n_next_types"),
+            F.max(F.when(F.col("rnk") == 1, F.col("next_type"))).alias(
+                "top_next_type"
+            ),
+            F.max(F.when(F.col("rnk") == 1, F.col("p"))).alias("top_share"),
+            F.round(-fold / F.lit(float(_LN2)), 9).alias("entropy_bits"),
+            F.round(F.exp(-fold), 9).alias("perplexity"),
+        )
+        .orderBy("prev_type")
+    )

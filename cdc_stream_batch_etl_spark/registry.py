@@ -72,6 +72,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "packing_waste_curve",
     "multi_touch_attribution",
     "minhash_threshold_sweep",
+    "transition_entropy",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
