@@ -79,7 +79,12 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "rank_overlap_rbo", "erasure_cascade_audit",
           "postings_compression_plan", "binned_quantiles_by_type",
           "neyman_allocation_plan", "split_leakage_report",
-          "four_step_path_counts"]
+          "four_step_path_counts",
+          # round 10, second batch
+          "functional_dependency_audit", "retrieval_ndcg_eval",
+          "heaps_law_fit", "zipf_law_fit", "packing_waste_curve",
+          "multi_touch_attribution", "minhash_threshold_sweep",
+          "transition_entropy"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
