@@ -101,11 +101,10 @@ _AUDIO_SCHEMA = T.StructType(
     ]
 )
 
-# Oracle: digest bytes → int16 samples (pairs 2j, 2j+1, little-endian,
-# signed), tiled to n = 256 + 8·digest[3]; stats via tile arithmetic:
-# 256+8k samples = (n // 16) full tiles + (n % 16) prefix samples.
-_AUDIO_ORACLE = """
-WITH hexmap AS (SELECT i AS v, printf('%02x', i) AS hx FROM range(256) t(i)),
+# Shared oracle CTE: digest bytes → int16 samples (pairs 2j, 2j+1,
+# little-endian, signed) — the 16-sample tile plus each doc's length
+# n = 256 + 8·digest[3]. Reused by the stats and silence oracles.
+_SAMPLES_CTE = """hexmap AS (SELECT i AS v, printf('%02x', i) AS hx FROM range(256) t(i)),
 sh AS (SELECT doc_id, lower(sha256(text)) AS h FROM documents),
 bytes AS (
   SELECT sh.doc_id, r.j, m.v
@@ -113,7 +112,7 @@ bytes AS (
   JOIN hexmap m ON m.hx = substr(sh.h, CAST(1 + 2 * r.j AS INTEGER), 2)
 ),
 samp AS (
-  SELECT b0.doc_id, b0.j / 2 AS s,
+  SELECT b0.doc_id, b0.j // 2 AS s,
          CASE WHEN b0.v + 256 * b1.v >= 32768
               THEN b0.v + 256 * b1.v - 65536
               ELSE b0.v + 256 * b1.v END AS val
@@ -124,7 +123,12 @@ samp AS (
 n AS (
   SELECT doc_id, 256 + 8 * MAX(CASE WHEN j = 3 THEN v END) AS n_samples
   FROM bytes GROUP BY doc_id
-),
+)"""
+
+# Stats via tile arithmetic: 256+8k samples = (n // 16) full tiles +
+# (n % 16) prefix samples.
+_AUDIO_ORACLE = f"""
+WITH {_SAMPLES_CTE},
 agg AS (
   SELECT s.doc_id,
          SUM(abs(s.val)) AS tile_abs,
@@ -175,3 +179,120 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(fn, schema=_AUDIO_SCHEMA)
+
+
+#: |sample| below this is "silence". 20000/32768 ≈ 61% of uniform
+#: digest samples qualify, so the synthetic waveforms carry multi-sample
+#: runs — a lower cutoff makes every run length 1 and the run-merging
+#: logic untestable
+SILENCE_THRESH = 20000
+
+_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("longest_silence", T.LongType()),
+        T.StructField("silent_share", T.DoubleType()),
+    ]
+)
+
+# Oracle: materialize each doc's full sample series (tile value at
+# pos % 16, positions 0..n-1) and run the canonical gaps-and-islands
+# grouping (pos − row_number) over the below-threshold positions.
+_SILENCE_ORACLE = f"""
+WITH {_SAMPLES_CTE},
+posns AS (
+  SELECT n.doc_id, g.g AS pos
+  FROM n, LATERAL unnest(generate_series(0, n.n_samples - 1)) g(g)
+),
+series AS (
+  SELECT p.doc_id, p.pos, s.val
+  FROM posns p JOIN samp s ON s.doc_id = p.doc_id AND s.s = p.pos % 16
+),
+sil AS (SELECT doc_id, pos FROM series WHERE abs(val) < {SILENCE_THRESH}),
+isl AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM sil
+),
+segs AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(len) AS BIGINT) AS n_silent,
+         CAST(max(len) AS BIGINT) AS longest_silence
+  FROM segs GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(n.n_samples AS BIGINT) AS n_samples,
+       CAST(COALESCE(p.n_silent, 0) AS BIGINT) AS n_silent,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.longest_silence, 0) AS BIGINT) AS longest_silence,
+       CAST(COALESCE(p.n_silent, 0) AS DOUBLE) / n.n_samples AS silent_share
+FROM n LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def silence_profile(samples: np.ndarray, thresh: int = SILENCE_THRESH) -> tuple:
+    """(n_silent, n_segments, longest) over one int16 sample array —
+    vectorized maximal-run detection (the VAD inner loop)."""
+    idx = np.flatnonzero(np.abs(samples.astype(np.int64)) < thresh)
+    if idx.size == 0:
+        return 0, 0, 0
+    # positions minus their rank are constant within a maximal run
+    groups = idx - np.arange(idx.size)
+    lens = np.unique(groups, return_counts=True)[1]
+    return int(idx.size), int(lens.size), int(lens.max())
+
+
+@register("audio_silence_segments", oracle=_SILENCE_ORACLE)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over REAL decoded audio — the VAD-lite
+    pre-filter a speech-data pipeline runs before transcription
+    (drop/shorten silent stretches, route all-silent clips out): per
+    document, maximal runs of |sample| < SILENCE_THRESH in the decoded
+    WAV — run count, total silent samples, longest run, silent share.
+
+    Like multimodal_audio_stats, the Spark side must round-trip a real
+    RIFF/WAVE container (encode → strict parse → numpy run detection);
+    the oracle predicts every run from digest arithmetic alone, so the
+    codec path and the vectorized islands logic are both hash-verified.
+
+    Determinism: counts are integers; silent_share is one exact-integer
+    IEEE division.
+
+    Scale: 1:1 row-local mapInPandas — no shuffle; per-row cost is the
+    ≤ 4.6 KB waveform. The oracle's per-sample series explode is
+    oracle-side only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nsil, nseg, longest, share = [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = wav_decode(wav_encode(_doc_samples(text)))
+                s_cnt, s_seg, s_max = silence_profile(samples)
+                ids.append(doc_id)
+                ns.append(len(samples))
+                nsil.append(s_cnt)
+                nseg.append(s_seg)
+                longest.append(s_max)
+                share.append(s_cnt / len(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "n_silent": nsil,
+                    "n_segments": nseg,
+                    "longest_silence": longest,
+                    "silent_share": share,
+                }
+            )
+
+    return docs.mapInPandas(fn, schema=_SILENCE_SCHEMA).orderBy("doc_id")

@@ -73,6 +73,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "multi_touch_attribution",
     "minhash_threshold_sweep",
     "transition_entropy",
+    "audio_silence_segments",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
