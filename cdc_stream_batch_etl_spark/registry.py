@@ -48,21 +48,23 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r10 window: (a) first rows for the SEVENTEEN queries NEW this round
+#: r10 window: (a) first rows for the TWENTY-SIX queries NEW this round
 #: (4-step path volumes, split-leakage audit, Neyman sampling plan,
 #: binned quantiles, VByte postings sizing,
 #: erasure cascade, RBO rank agreement, l-diversity, truncation
 #: recall, zorder layout report, Poisson bootstrap, quantile alignment,
 #: chunk-rewrite ledger, pHash multi-index pairs, the two ABTT
-#: isotropy ops, winnow match spans); (a') re-rows for the four whose
+#: isotropy ops, winnow match spans; second batch: FD audit, graded
+#: nDCG eval, Heaps/Zipf law fits, packing waste curve, multi-touch
+#: attribution, LSH threshold sweep, transition entropy, audio silence
+#: runs); (a') re-rows for the four whose
 #: plan AND oracle changed — winnowed_fingerprints / winnow_match_pairs
 #: (segment-local packed positions: exact for unbounded document
 #: length) and content_defined_chunks / chunk_dedup_report (FastCDC
 #: MIN/MAX chunk bounds); (b) the two change-sensitive sentinels; (c)
 #: staleness rotation — the r5 cohort (now the oldest driver rows). The
-#: new operators squeeze the rotation to 27 of the cohort's 42; the
-#: last fifteen tuple entries sit past slot 50 and lead the r11
-#: rotation.
+#: new operators squeeze the rotation to 18 of the cohort's 42; the
+#: remaining tuple entries sit past slot 50 and lead the r11 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
     "functional_dependency_audit",
