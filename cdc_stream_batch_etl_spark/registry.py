@@ -76,6 +76,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "minhash_threshold_sweep",
     "transition_entropy",
     "audio_silence_segments",
+    "lang_id_confusion",
+    "lang_id_class_metrics",
+    "event_burstiness",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -251,6 +254,8 @@ def load_all() -> None:
     from .text import laws  # noqa: F401  heaps_law_fit, zipf_law_fit — corpus scaling-law diagnostics
     from .operators import attribution  # noqa: F401  multi_touch_attribution — linear/U-shaped credit
     from .dedup import threshold_sweep  # noqa: F401  minhash_threshold_sweep — LSH S-curve calibration
+    from .text import langeval  # noqa: F401  lang_id_confusion, lang_id_class_metrics — router eval
+    from .operators import burstiness  # noqa: F401  event_burstiness — inter-arrival dispersion
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs

@@ -84,7 +84,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "functional_dependency_audit", "retrieval_ndcg_eval",
           "heaps_law_fit", "zipf_law_fit", "packing_waste_curve",
           "multi_touch_attribution", "minhash_threshold_sweep",
-          "transition_entropy"]
+          "transition_entropy", "audio_silence_segments",
+          "lang_id_confusion", "lang_id_class_metrics", "event_burstiness"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
