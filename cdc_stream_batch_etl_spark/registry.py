@@ -79,6 +79,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "lang_id_class_metrics",
     "event_burstiness",
+    "partition_layout_advisor",
+    "bloom_sizing_plan",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -256,6 +258,7 @@ def load_all() -> None:
     from .dedup import threshold_sweep  # noqa: F401  minhash_threshold_sweep — LSH S-curve calibration
     from .text import langeval  # noqa: F401  lang_id_confusion, lang_id_class_metrics — router eval
     from .operators import burstiness  # noqa: F401  event_burstiness — inter-arrival dispersion
+    from .operators import layoutadvisor  # noqa: F401  partition_layout_advisor, bloom_sizing_plan
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
