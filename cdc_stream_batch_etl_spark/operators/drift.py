@@ -103,3 +103,106 @@ def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(tot > 0.0, diff * diff / tot).otherwise(F.lit(0.0)).alias("chi2_term"),
         (F.abs(diff) / 2.0).alias("tvd_term"),
     )
+
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
+         count(*) FILTER (WHERE ts <  TIMESTAMP '{CUT_TS}') AS n_early,
+         count(*) FILTER (WHERE ts >= TIMESTAMP '{CUT_TS}') AS n_late
+  FROM events
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT *,
+         sum(n_early) OVER (PARTITION BY event_type) AS tot_early,
+         sum(n_late)  OVER (PARTITION BY event_type) AS tot_late,
+         count(*)     OVER (PARTITION BY event_type) AS n_buckets
+  FROM b
+),
+terms AS (
+  SELECT event_type, bucket, n_buckets,
+         CAST(n_early + 1 AS DOUBLE) / (tot_early + n_buckets) AS p,
+         CAST(n_late + 1 AS DOUBLE) / (tot_late + n_buckets) AS q
+  FROM t
+),
+folded AS (
+  SELECT event_type,
+         CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list((p - q) * ln(p / q) ORDER BY bucket)),
+               (a, b) -> a + b), 9) AS psi
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n_buckets, psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS band
+FROM folded
+ORDER BY event_type
+"""
+
+
+@register("psi_drift", oracle=_PSI_ORACLE)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the early and
+    late eras — the scalar drift score model-monitoring systems alarm
+    on (banking scorecard convention: < 0.1 stable, 0.1-0.25 moderate,
+    >= 0.25 shifted), next to value_drift's per-bucket chi-square/TV
+    terms. Laplace-smoothed cell proportions (n+1)/(tot+B) keep
+    PSI = Σ (p−q)·ln(p/q) finite on era-empty buckets.
+
+    Determinism: proportions are exact integer ratios; the ln terms
+    fold in bucket order (the centroids idiom) and psi exports at 9
+    decimals; the band thresholds compare the ROUNDED psi, so both
+    engines band identically.
+
+    Scale: the value_drift hash-agg (one shuffle on (type, bucket)) +
+    per-type folds over the bucket list."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(CUT_TS).cast("timestamp")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / BUCKET_WIDTH).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count(F.when(F.col("ts") < cut, 1)).alias("n_early"),
+        F.count(F.when(F.col("ts") >= cut, 1)).alias("n_late"),
+    )
+    w = Window.partitionBy("event_type")
+    terms = b.select(
+        "event_type",
+        "bucket",
+        F.count("*").over(w).alias("n_buckets"),
+        (
+            (F.col("n_early") + 1).cast("double")
+            / (F.sum("n_early").over(w) + F.count("*").over(w))
+        ).alias("p"),
+        (
+            (F.col("n_late") + 1).cast("double")
+            / (F.sum("n_late").over(w) + F.count("*").over(w))
+        ).alias("q"),
+    )
+    fold = F.expr(
+        "aggregate(array_sort(collect_list(struct(bucket, term))), 0.0D, "
+        "(acc, e) -> acc + e.term)"
+    )
+    folded = (
+        terms.withColumn(
+            "term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_buckets").cast("bigint").alias("n_buckets"),
+            F.round(fold, 9).alias("psi"),
+        )
+    )
+    return folded.select(
+        "event_type",
+        "n_buckets",
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("band"),
+    ).orderBy("event_type")

@@ -81,6 +81,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "event_burstiness",
     "partition_layout_advisor",
     "bloom_sizing_plan",
+    "psi_drift",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",

@@ -170,3 +170,43 @@ def test_restart_resumes_model_exactly_once(spark, tmp_path):
 
     run()  # phase 3: idle restart — nothing to replay, nothing emitted
     assert len(spark.read.parquet(out).collect()) == 2
+
+
+def test_psi_drift_planted_shift_and_python_reference(spark):
+    """A hard mean shift between eras must band 'shifted'; PSI matches a
+    pure-Python computation with the same Laplace smoothing."""
+    import datetime as dt
+    import math
+
+    import cdc_stream_batch_etl_spark.operators.drift as dr
+
+    early = [(i, dt.datetime(2024, 1, 10), 1, "t", 10.0) for i in range(100)]
+    late = [(1000 + i, dt.datetime(2024, 1, 20), 1, "t", 200.0) for i in range(100)]
+    df = spark.createDataFrame(
+        early + late,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    orig = dr.load_table
+    try:
+        dr.load_table = lambda s, d, t: df  # noqa: ARG005
+        r = dr.psi_drift(spark, "x").collect()[0]
+    finally:
+        dr.load_table = orig
+    # two buckets (10/32 -> 0, 200/32 -> 6), fully era-separated
+    assert r.n_buckets == 2
+    cells = {0: (100, 0), 6: (0, 100)}
+    psi = 0.0
+    for ne, nl in cells.values():
+        p = (ne + 1) / (100 + 2)
+        q = (nl + 1) / (100 + 2)
+        psi += (p - q) * math.log(p / q)
+    assert abs(r.psi - psi) < 1e-9
+    assert r.band == "shifted" and r.psi > 0.25
+
+
+def test_psi_drift_driver_data_is_stable(spark, sf_dir):
+    from cdc_stream_batch_etl_spark.operators.drift import psi_drift
+
+    for r in psi_drift(spark, sf_dir).collect():
+        assert r.psi >= 0.0  # PSI is a symmetrized KL: nonnegative
+        assert r.band == "stable"  # the synthetic stream has no drift
