@@ -82,6 +82,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "partition_layout_advisor",
     "bloom_sizing_plan",
     "psi_drift",
+    "revenue_decomposition",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -260,6 +261,8 @@ def load_all() -> None:
     from .text import langeval  # noqa: F401  lang_id_confusion, lang_id_class_metrics — router eval
     from .operators import burstiness  # noqa: F401  event_burstiness — inter-arrival dispersion
     from .operators import layoutadvisor  # noqa: F401  partition_layout_advisor, bloom_sizing_plan
+    from .operators import decompose  # noqa: F401  revenue_decomposition — trend/seasonal/residual
+    # (psi_drift registers via the drift import above)
 
     # --- NEW in round 9 ---
     from .text import winnow  # noqa: F401  winnowed_fingerprints, winnow_match_pairs
