@@ -83,6 +83,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "bloom_sizing_plan",
     "psi_drift",
     "revenue_decomposition",
+    "copurchase_degree_histogram",
+    "copurchase_graph_profile",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
@@ -262,6 +264,7 @@ def load_all() -> None:
     from .operators import burstiness  # noqa: F401  event_burstiness — inter-arrival dispersion
     from .operators import layoutadvisor  # noqa: F401  partition_layout_advisor, bloom_sizing_plan
     from .operators import decompose  # noqa: F401  revenue_decomposition — trend/seasonal/residual
+    from .operators import graphprofile  # noqa: F401  copurchase degree histogram + assortativity
     # (psi_drift registers via the drift import above)
 
     # --- NEW in round 9 ---
