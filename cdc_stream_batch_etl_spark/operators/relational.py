@@ -202,3 +202,67 @@ def revenue_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_count",
         "total_revenue",
     )
+
+
+_DIVISION_ORACLE = """
+WITH part_regions AS (
+  SELECT DISTINCT l.l_partkey, n.n_regionkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+universal AS (
+  SELECT l_partkey
+  FROM part_regions
+  GROUP BY l_partkey
+  HAVING count(*) = (SELECT count(*) FROM region)
+)
+SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM region) AS n_regions
+FROM part p JOIN universal u ON p.p_partkey = u.l_partkey
+ORDER BY p.p_partkey
+"""
+
+
+@register("parts_in_all_regions", oracle=_DIVISION_ORACLE)
+def parts_in_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION (the FOR ALL quantifier — the one classic
+    operator semi/anti joins don't cover): parts whose buyers span
+    EVERY region. The division idiom that scales: collapse to DISTINCT
+    (part, region) pairs, count per part, compare to the divisor
+    cardinality — never a per-element anti-join chain (which would run
+    |divisor| passes).
+
+    Scale: the fact→orders→customer chain ships only join keys
+    (Catalyst prunes), nation/region are broadcast dims, the distinct
+    collapses to ≤ |parts|·|regions| rows before the counting agg, and
+    the 1-row divisor count is a broadcast scalar (the two-pass
+    crossJoin pattern). One corpus-sized exchange total."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    part = load_table(spark, sf_dir, "part")
+    n_regions = load_table(spark, sf_dir, "region").agg(
+        F.count("*").cast("bigint").alias("n_regions")
+    )
+    pr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("l_partkey", "n_regionkey")
+        .distinct()
+    )
+    universal = (
+        pr.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_span"))
+        .crossJoin(F.broadcast(n_regions))
+        .filter(F.col("n_span") == F.col("n_regions"))
+        .select("l_partkey", "n_regions")
+    )
+    return (
+        part.join(universal, part.p_partkey == universal.l_partkey)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "n_regions")
+        .orderBy("p_partkey")
+    )

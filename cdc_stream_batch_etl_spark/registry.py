@@ -85,6 +85,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "revenue_decomposition",
     "copurchase_degree_histogram",
     "copurchase_graph_profile",
+    "parts_in_all_regions",
     "four_step_path_counts",
     "split_leakage_report",
     "neyman_allocation_plan",
