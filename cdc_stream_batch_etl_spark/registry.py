@@ -48,7 +48,7 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r10 window: (a) first rows for the TWENTY-SIX queries NEW this round
+#: r10 window: (a) first rows for the THIRTY-SIX queries NEW this round
 #: (4-step path volumes, split-leakage audit, Neyman sampling plan,
 #: binned quantiles, VByte postings sizing,
 #: erasure cascade, RBO rank agreement, l-diversity, truncation
@@ -57,13 +57,15 @@ ROWS_ONLY: dict[str, str] = {
 #: isotropy ops, winnow match spans; second batch: FD audit, graded
 #: nDCG eval, Heaps/Zipf law fits, packing waste curve, multi-touch
 #: attribution, LSH threshold sweep, transition entropy, audio silence
-#: runs); (a') re-rows for the four whose
+#: runs, lang-ID confusion/metrics, event burstiness, the two layout
+#: advisors, PSI drift, revenue decomposition, the co-purchase degree
+#: histogram/assortativity pair, relational division); (a') re-rows for the four whose
 #: plan AND oracle changed — winnowed_fingerprints / winnow_match_pairs
 #: (segment-local packed positions: exact for unbounded document
 #: length) and content_defined_chunks / chunk_dedup_report (FastCDC
 #: MIN/MAX chunk bounds); (b) the two change-sensitive sentinels; (c)
 #: staleness rotation — the r5 cohort (now the oldest driver rows). The
-#: new operators squeeze the rotation to 18 of the cohort's 42; the
+#: new operators squeeze the rotation to 8 of the cohort's 42; the
 #: remaining tuple entries sit past slot 50 and lead the r11 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) NEW in round 10 — first driver rows
