@@ -129,12 +129,19 @@ def candidate_scores(docs: DataFrame) -> DataFrame:
     unthresholded core minhash_lsh_pairs filters at τ."""
     with_sh = _with_hashed_shingles(docs)
     sigs = with_sh.select("doc_id", "shingles", *_sig_exprs_spark())
+    # persisted: the doc-level feature frame (shingle array + 16-wide
+    # signature + band hashes) feeds THREE consumers — the bucket table
+    # and both candidate sides — and each unpersisted reference re-runs
+    # the md5-per-shingle scan, the CPU-dominant step (3 corpus scans in
+    # the plan). The cache is corpus-proportional; MEMORY_AND_DISK
+    # spill still beats re-hashing every shingle twice more at 100 TB.
+    # Caller-must-clear contract as elsewhere (vocab.py).
     feat = sigs.select(
         "doc_id",
         "shingles",
         F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)]).alias("sig"),
         F.array(*[_band_hash_spark(b) for b in range(N_BANDS)]).alias("bhs"),
-    )
+    ).persist()
     buckets = (
         feat.select("doc_id", F.posexplode("bhs").alias("band", "bucket"))
         .groupBy("band", "bucket")

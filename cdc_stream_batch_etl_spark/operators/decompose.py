@@ -105,6 +105,11 @@ def revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,2)")
             .alias("rev")
         )
+        # persisted: a DAY-count frame (thousands of rows at any corpus
+        # size) consumed by the window, the seasonal agg and the final
+        # join — unpersisted, each reference re-scans orders (3 fact
+        # scans in the plan). Caller-must-clear contract (vocab.py).
+        .persist()
     )
     w = Window.orderBy("d").rangeBetween(-3, 3)
     win = daily.select(

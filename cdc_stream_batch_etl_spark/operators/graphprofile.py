@@ -65,7 +65,7 @@ FROM deg GROUP BY degree ORDER BY degree
 @register("copurchase_degree_histogram", oracle=_HIST_ORACLE)
 def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(degree, n_parts) over the supported co-purchase graph."""
-    deg = _degrees(spark, sf_dir)
+    deg = _degrees(_edges(spark, sf_dir))
     return (
         deg.groupBy("degree")
         .agg(F.count("*").cast("bigint").alias("n_parts"))
@@ -73,8 +73,18 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _pairs_from(_baskets(spark, sf_dir)).select("part_a", "part_b")
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supported edge set, PERSISTED: the pair table is output-bounded
+    (far smaller than the fact table) and every downstream consumer —
+    both degree references, the directed edge list, the node meta —
+    would otherwise re-run the basket scan+shuffle per reference (8
+    lineitem scans in the unpersisted profile plan). Caller-must-clear
+    contract as elsewhere (vocab.py; runner.run_query / bench / driver
+    clearCache between queries)."""
+    return _pairs_from(_baskets(spark, sf_dir)).select("part_a", "part_b").persist()
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
     directed = edges.union(
         edges.select(F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"))
     )
@@ -126,11 +136,11 @@ FROM sums s CROSS JOIN meta m
 def copurchase_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: nodes, edges, avg/max degree, density, and Newman
     degree assortativity of the supported co-purchase graph."""
-    edges = _pairs_from(_baskets(spark, sf_dir)).select("part_a", "part_b")
+    edges = _edges(spark, sf_dir)
     directed = edges.union(
         edges.select(F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"))
     ).select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-    deg = _degrees(spark, sf_dir)
+    deg = _degrees(edges)
     sides = (
         directed.join(
             deg.select(F.col("node").alias("u"), F.col("degree").alias("dj")), "u"

@@ -238,6 +238,10 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("v", F.sum("cnt").over(wj))
     )
+    # persisted: 9 rows per source, consumed by both the OLS folds and
+    # the meta agg — unpersisted, each reference re-runs the corpus
+    # wordcount (6 document scans in the plan). Caller-must-clear
+    # contract (vocab.py).
     pts = curve.select(
         "source",
         "j",
@@ -247,7 +251,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("j") == 8, F.col("v"))).over(
             Window.partitionBy("source")
         ).alias("vocab"),
-    )
+    ).persist()
     ols = _ols_spark(pts, ["source"], "j", F.count("*"))
     meta = pts.groupBy("source").agg(
         F.max("t").cast("bigint").alias("total_tokens"),
@@ -314,6 +318,8 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy(F.desc("cnt"), "word"))
         .alias("rnk"),
     ).filter(F.col("rnk") <= ZIPF_RANKS)
+    # persisted: ≤ 64 rows per source, two consumers (OLS folds + meta)
+    # — same rationale as the Heaps grid
     pts = ranked.select(
         "source",
         "rnk",
@@ -322,7 +328,7 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rnk") == 1, F.col("cnt"))).over(
             Window.partitionBy("source")
         ).alias("top_cnt"),
-    )
+    ).persist()
     ols = _ols_spark(pts, ["source"], "rnk", F.count("*"))
     meta = pts.groupBy("source").agg(
         F.max("top_cnt").cast("bigint").alias("top_cnt")
