@@ -307,6 +307,26 @@ HEADLINE: list[str] = [
     "neyman_allocation_plan",
     "split_leakage_report",
     "four_step_path_counts",
+    # round 10, second batch
+    "functional_dependency_audit",
+    "retrieval_ndcg_eval",
+    "heaps_law_fit",
+    "zipf_law_fit",
+    "packing_waste_curve",
+    "multi_touch_attribution",
+    "minhash_threshold_sweep",
+    "transition_entropy",
+    "audio_silence_segments",
+    "lang_id_confusion",
+    "lang_id_class_metrics",
+    "event_burstiness",
+    "partition_layout_advisor",
+    "bloom_sizing_plan",
+    "psi_drift",
+    "revenue_decomposition",
+    "copurchase_degree_histogram",
+    "copurchase_graph_profile",
+    "parts_in_all_regions",
 ]
 
 
