@@ -167,7 +167,7 @@ def candidate_scores(docs: DataFrame) -> DataFrame:
         F.size(F.col("fa.shingles")) + F.size(F.col("fb.shingles")) - shared
     )
     matches = F.expr(
-        "size(filter(sequence(1, 16), i -> "
+        f"size(filter(sequence(1, {N_HASHES}), i -> "
         "element_at(fa.sig, i) = element_at(fb.sig, i)))"
     )
     return (

@@ -84,11 +84,16 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_from(_baskets(spark, sf_dir)).select("part_a", "part_b").persist()
 
 
-def _degrees(edges: DataFrame) -> DataFrame:
-    directed = edges.union(
+def _directed(edges: DataFrame) -> DataFrame:
+    """Both orientations of every undirected edge — the single home of
+    the orientation logic (degrees and the sides table must agree)."""
+    return edges.union(
         edges.select(F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"))
     )
-    return directed.groupBy(F.col("part_a").alias("node")).agg(
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return _directed(edges).groupBy(F.col("part_a").alias("node")).agg(
         F.count("*").cast("bigint").alias("degree")
     )
 
@@ -137,9 +142,9 @@ def copurchase_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: nodes, edges, avg/max degree, density, and Newman
     degree assortativity of the supported co-purchase graph."""
     edges = _edges(spark, sf_dir)
-    directed = edges.union(
-        edges.select(F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"))
-    ).select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+    directed = _directed(edges).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
     deg = _degrees(edges)
     sides = (
         directed.join(

@@ -119,10 +119,15 @@ def lang_id_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per class (union of declared and predicted labels): support,
     TP/FP/FN and one-vs-rest precision/recall/F1 of the language-ID
     heuristic against the declared label."""
+    # persisted: a ≤ |langs|²-cell frame consumed three times (both
+    # union branches of the class list + the crossJoin) — unpersisted,
+    # each reference re-runs the per-document regexp scan (the persist
+    # pass convention; caller-must-clear contract, vocab.py)
     cells = (
         lang_id(spark, sf_dir)
         .groupBy("lang", "predicted_lang")
         .agg(F.count("*").cast("bigint").alias("n"))
+        .persist()
     )
     classes = (
         cells.select(F.col("lang").alias("cls"))

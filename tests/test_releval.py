@@ -60,8 +60,15 @@ def test_ndcg_bounds_and_monotone_dcg(spark, sf_dir):
 
 def test_graded_fixture_is_not_degenerate(spark):
     # the driver-gate corpus must exercise BOTH branches: at sf0.01 the
-    # lexical top-10 contains graded AND zero-relevance documents
-    df = retrieval_ndcg_eval(spark, "/root/testdata/sf0.01")
+    # lexical top-10 contains graded AND zero-relevance documents.
+    # Derived from the test SF dir so the suite stays relocatable
+    # (sf0.001 is too small for the guarantee, hence the sibling).
+    import os
+
+    from tests.conftest import SF_DIR
+
+    sf001 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    df = retrieval_ndcg_eval(spark, sf001)
     rels = [r.rel for r in df.collect()]
     assert any(x > 0 for x in rels) and any(x == 0 for x in rels)
     n_pos = sum(1 for x in rels if x > 0)
