@@ -38,6 +38,28 @@ def test_rows_only_declaration_matches_registry():
     assert not (set(registry.ROWS_ONLY) & set(registry.ORACLES))
 
 
+def test_bench_ledger_official_gating():
+    """Only an explicitly-official FULL run may claim bench_ledger.json.
+
+    r10 lesson: the driver's (unflagged) full-registry bench overwrote the
+    committed adjudicated ledger. Full-ness alone must route to the
+    sidecar; so must an --official flag on a partial run.
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.ledger_default_name(official=True, full_run=True) == "bench_ledger.json"
+    for official, full in ((False, True), (True, False), (False, False)):
+        assert (
+            bench.ledger_default_name(official, full) == "bench_ledger.partial.json"
+        ), (official, full)
+
+
 # ---------------------------------------------------------------------------
 # centroid stride policies: K ∝ √N for IVF-style cells, K capped for
 # codebooks — both must actually engage above the stride-32 floor
