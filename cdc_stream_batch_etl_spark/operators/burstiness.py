@@ -17,7 +17,12 @@ decimal(38,0) (order-independent exact sums — the four_step playbook;
 d² ≤ 1e24, corpus sums fit 38 digits), and the double read-out chain
 (cast → mean → variance → sqrt → ratios) is the same literal IEEE
 expression in both engines, so no rounding export is needed. Variance
-is clamped at 0 before sqrt (the cancellation guard, both engines).
+is clamped at 0 before sqrt (the cancellation guard, both engines),
+and the zero-mean case (every gap for a type exactly 0 µs — all
+same-type events at identical timestamps) is guarded explicitly: cv
+and burstiness are NULL when Σd = 0, mirroring the variance clamp, so
+no 0/0 NaN whose representation differs cross-engine can ever reach
+the compare (r10 ADVICE item).
 
 Scale: one lag() window on (user_id, event_type) — a single hash
 shuffle on user_id with in-partition sort, the event_transitions
@@ -53,18 +58,20 @@ SELECT event_type, n_gaps,
        sqrt(greatest(CAST(sd2 AS DOUBLE) / n_gaps
                      - (CAST(sd AS DOUBLE) / n_gaps)
                        * (CAST(sd AS DOUBLE) / n_gaps), 0.0e0)) AS std_gap_us,
-       sqrt(greatest(CAST(sd2 AS DOUBLE) / n_gaps
-                     - (CAST(sd AS DOUBLE) / n_gaps)
-                       * (CAST(sd AS DOUBLE) / n_gaps), 0.0e0))
-         / (CAST(sd AS DOUBLE) / n_gaps) AS cv,
-       (sqrt(greatest(CAST(sd2 AS DOUBLE) / n_gaps
-                      - (CAST(sd AS DOUBLE) / n_gaps)
-                        * (CAST(sd AS DOUBLE) / n_gaps), 0.0e0))
-        - CAST(sd AS DOUBLE) / n_gaps)
-       / (sqrt(greatest(CAST(sd2 AS DOUBLE) / n_gaps
+       CASE WHEN sd = 0 THEN NULL ELSE
+         sqrt(greatest(CAST(sd2 AS DOUBLE) / n_gaps
+                       - (CAST(sd AS DOUBLE) / n_gaps)
+                         * (CAST(sd AS DOUBLE) / n_gaps), 0.0e0))
+           / (CAST(sd AS DOUBLE) / n_gaps) END AS cv,
+       CASE WHEN sd = 0 THEN NULL ELSE
+         (sqrt(greatest(CAST(sd2 AS DOUBLE) / n_gaps
                         - (CAST(sd AS DOUBLE) / n_gaps)
                           * (CAST(sd AS DOUBLE) / n_gaps), 0.0e0))
-          + CAST(sd AS DOUBLE) / n_gaps) AS burstiness
+          - CAST(sd AS DOUBLE) / n_gaps)
+         / (sqrt(greatest(CAST(sd2 AS DOUBLE) / n_gaps
+                          - (CAST(sd AS DOUBLE) / n_gaps)
+                            * (CAST(sd AS DOUBLE) / n_gaps), 0.0e0))
+            + CAST(sd AS DOUBLE) / n_gaps) END AS burstiness
 FROM sums
 ORDER BY event_type
 """
@@ -93,11 +100,19 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sd2").cast("double") / F.col("n_gaps") - mean * mean, F.lit(0.0)
     )
     std = F.sqrt(var)
+    # Σd = 0 ⟺ mean = 0 (gaps are non-negative): cv and burstiness would
+    # evaluate 0/0 → NaN, whose cross-engine bits the determinism argument
+    # does not cover; NULL is the defined value for "no dispersion scale".
+    zero_mean = F.col("sd") == F.lit(0).cast("decimal(38,0)")
     return sums.select(
         "event_type",
         "n_gaps",
         mean.alias("mean_gap_us"),
         std.alias("std_gap_us"),
-        (std / mean).alias("cv"),
-        ((std - mean) / (std + mean)).alias("burstiness"),
+        F.when(zero_mean, F.lit(None).cast("double"))
+        .otherwise(std / mean)
+        .alias("cv"),
+        F.when(zero_mean, F.lit(None).cast("double"))
+        .otherwise((std - mean) / (std + mean))
+        .alias("burstiness"),
     ).orderBy("event_type")

@@ -200,9 +200,12 @@ def packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length selection report: per (source, ctx_len in 128..
     2048) the cost of each sequence-construction policy — doc-per-
     sequence padding (padded_seqs, pad_waste, pad_waste_share),
-    truncate-at-L (trunc_docs, trunc_loss_share), and contiguous stream
-    packing (packed_seqs, straddled_docs = documents split across a
-    sequence boundary under pack_sequences' greedy binning). The table
+    truncate-at-L (trunc_docs, trunc_loss_share), and contiguous
+    concatenate-and-chop stream packing (packed_seqs, straddled_docs =
+    documents crossing a boundary when the per-source token stream is
+    chopped at every ctx_len tokens — NOTE: a different policy from
+    pack_sequences, which assigns each document whole to the bin of its
+    start offset and never splits one). The table
     a pipeline reads to pick its training context length: padding waste
     falls with L while straddle-split damage rises, and the knee is the
     answer.

@@ -62,6 +62,18 @@ def test_periodic_arrivals_have_burstiness_minus_one(spark):
     assert r.cv == 0.0 and r.burstiness == -1.0
 
 
+def test_zero_gap_type_yields_null_cv_and_burstiness(spark):
+    """All same-type events at identical timestamps → every gap is 0 µs,
+    mean = 0: cv and burstiness must be NULL (guarded 0/0), never NaN
+    (r10 ADVICE — cross-engine NaN bits are outside the determinism
+    argument)."""
+    rows = [(i, T0, 1, "sametick") for i in range(5)]
+    r = _burst(spark, rows)["sametick"]
+    assert r.n_gaps == 4
+    assert r.mean_gap_us == 0.0 and r.std_gap_us == 0.0
+    assert r.cv is None and r.burstiness is None
+
+
 def test_bursty_arrivals_match_python_moments(spark):
     gaps = [1, 1, 1, 1, 1, 1, 1, 1, 1, 991]  # a storm then a long lull
     ts, rows = 0, [(0, T0, 1, "burst")]
