@@ -1,6 +1,9 @@
-"""Streaming attribution settles exactly the batch operator's touches:
-multiset parity on (user, conv, type, pos, n) plus credits, lookback
-state eviction, equal-ts conventions, and checkpoint-restart."""
+"""Streaming attribution under the r11 watermark-sealed contract:
+arrivals may be reordered arbitrarily within the horizon and the
+settled-touch multiset must still equal the batch operator exactly —
+including the r10 ADVICE case of a same-instant touch delivered a
+batch AFTER its purchase. Lookback eviction, both state-store
+providers, checkpoint-restart."""
 
 import datetime as dt
 from collections import Counter
@@ -16,6 +19,7 @@ from cdc_stream_batch_etl_spark.streaming.attribution_stream import (
 )
 
 T0 = dt.datetime(2024, 1, 1)
+FLUSH_USER = -999
 
 
 def _batch_expected(spark, sf_dir):
@@ -33,22 +37,32 @@ def _batch_expected(spark, sf_dir):
     )
 
 
-def _stream(spark, tmp_path, events, n_batches=4, name="attr_out"):
+def _flush_row(spark, events, days_past_max=45):
+    max_ts = events.agg(F.max("ts")).first()[0]
+    return spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=days_past_max), FLUSH_USER, "flush", 0.0, None)],
+        events.schema,
+    )
+
+
+def _stream(spark, tmp_path, events, name, n_batches=4, watermark="40 days"):
+    """Shuffled arrival order (hash of event_id) + trailing flush."""
     src = str(tmp_path / f"src_{name}")
     ordered = events.withColumn(
-        "__q", F.ntile(n_batches).over(Window.orderBy("ts", "event_id"))
+        "__q", F.ntile(n_batches).over(Window.orderBy(F.xxhash64("event_id")))
     )
     for q in range(1, n_batches + 1):
         ordered.filter(F.col("__q") == q).drop("__q").coalesce(1).write.parquet(
             f"{src}/batch_{q}"
         )
+    _flush_row(spark, events).coalesce(1).write.parquet(f"{src}/batch_9flush")
     stream_src = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src + "/batch_*")
     )
     q = (
-        attribution_stream(stream_src)
+        attribution_stream(stream_src, watermark=watermark)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
@@ -57,10 +71,14 @@ def _stream(spark, tmp_path, events, n_batches=4, name="attr_out"):
         .start()
     )
     q.awaitTermination(300)
-    return spark.sql(f"SELECT * FROM {name}").collect()
+    return [
+        r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.user_id != FLUSH_USER
+    ]
 
 
-def test_stream_settles_exactly_the_batch_touches(
+def test_shuffled_stream_settles_exactly_the_batch_touches(
     spark, tmp_path, sf_dir, state_provider
 ):
     events = load_table(spark, sf_dir, "events")
@@ -76,32 +94,40 @@ def test_stream_settles_exactly_the_batch_touches(
         )
         for r in _stream(spark, tmp_path, events, name=f"attr_{state_provider}")
     )
+    from tests.conftest import assert_state_provider_engaged
+
+    assert_state_provider_engaged(
+        str(tmp_path / f"ckpt_attr_{state_provider}"), state_provider
+    )
     assert got == expected
 
 
-def test_lookback_eviction_and_equal_ts(spark, tmp_path):
-    rows = [
-        # user 1: a touch 8 days stale by purchase time -> dropped
-        (1, T0, 1, "view"),
-        (2, T0 + dt.timedelta(days=8), 1, "purchase"),
-        # user 2: touch and purchase at the same instant, purchase has
-        # the SMALLER event_id -> still settles the touch (inclusive)
-        (4, T0, 2, "purchase"),
-        (5, T0, 2, "view"),
-    ]
-    # rows 4,5 share a timestamp: write the micro-batches explicitly so
-    # the same-instant pair arrives together (ntile would split them)
+def test_lookback_eviction_and_same_instant_purchase_first(spark, tmp_path):
+    """The r10 ADVICE case head-on: the same-instant purchase is
+    DELIVERED a whole micro-batch before its touch — settlement now
+    waits for the watermark, so the touch still earns full credit.
+    Also: a touch 8 days stale by purchase time earns nothing."""
     schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
     src = str(tmp_path / "src_edge")
-    spark.createDataFrame(rows[:2], schema).coalesce(1).write.parquet(f"{src}/batch_1")
-    spark.createDataFrame(rows[2:], schema).coalesce(1).write.parquet(f"{src}/batch_2")
+    # batch 1: user 2's purchase (the same-instant pair's LATER-sorted
+    # member arrives FIRST) + user 1's stale touch
+    spark.createDataFrame(
+        [(4, T0, 2, "purchase"), (1, T0, 1, "view")], schema
+    ).coalesce(1).write.parquet(f"{src}/batch_1")
+    # batch 2: user 2's same-instant touch + user 1's late purchase
+    spark.createDataFrame(
+        [(5, T0, 2, "view"), (2, T0 + dt.timedelta(days=8), 1, "purchase")], schema
+    ).coalesce(1).write.parquet(f"{src}/batch_2")
+    spark.createDataFrame(
+        [(9, T0 + dt.timedelta(days=60), FLUSH_USER, "flush")], schema
+    ).coalesce(1).write.parquet(f"{src}/batch_3")
     stream_src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src + "/batch_*")
     )
     q = (
-        attribution_stream(stream_src)
+        attribution_stream(stream_src, watermark="30 days")
         .writeStream.outputMode("update")
         .format("memory")
         .queryName("attr_edge")
@@ -110,7 +136,11 @@ def test_lookback_eviction_and_equal_ts(spark, tmp_path):
         .start()
     )
     q.awaitTermination(300)
-    out = spark.sql("SELECT * FROM attr_edge").collect()
+    out = [
+        r
+        for r in spark.sql("SELECT * FROM attr_edge").collect()
+        if r.user_id != FLUSH_USER
+    ]
     assert len(out) == 1
     r = out[0]
     assert (r.user_id, r.conv_id, r.event_type, r.pos, r.n) == (2, 4, "view", 1, 1)
@@ -123,11 +153,14 @@ def test_restart_settles_each_touch_once(spark, tmp_path, sf_dir):
     events = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
     staging = str(tmp_path / "staging")
     src = str(tmp_path / "src")
-    ordered = events.withColumn("__q", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    ordered = events.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy(F.xxhash64("event_id")))
+    )
     for q in range(1, 5):
         ordered.filter(F.col("__q") == q).drop("__q").coalesce(1).write.parquet(
             f"{staging}/batch_{q}"
         )
+    _flush_row(spark, events).coalesce(1).write.parquet(f"{staging}/batch_5")
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
 
@@ -138,7 +171,7 @@ def test_restart_settles_each_touch_once(spark, tmp_path, sf_dir):
             .parquet(src + "/batch_*")
         )
         q = (
-            attribution_stream(stream_src)
+            attribution_stream(stream_src, watermark="40 days")
             .writeStream.foreachBatch(
                 lambda df, _: df.write.mode("append").parquet(out)
             )
@@ -152,12 +185,13 @@ def test_restart_settles_each_touch_once(spark, tmp_path, sf_dir):
     for b in (1, 2):
         shutil.copytree(f"{staging}/batch_{b}", f"{src}/batch_{b}")
     _run()
-    for b in (3, 4):
+    for b in (3, 4, 5):
         shutil.copytree(f"{staging}/batch_{b}", f"{src}/batch_{b}")
     _run()
     streamed = Counter(
         (r.conv_id, r.event_type, r.pos, r.n)
         for r in spark.read.parquet(out).collect()
+        if r.user_id != FLUSH_USER
     )
     # expected = the batch operator run on the SAME filtered frame
     orig = mta.load_table
