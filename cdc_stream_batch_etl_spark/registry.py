@@ -48,80 +48,20 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r10 window: (a) first rows for the THIRTY-SIX queries NEW this round
-#: (4-step path volumes, split-leakage audit, Neyman sampling plan,
-#: binned quantiles, VByte postings sizing,
-#: erasure cascade, RBO rank agreement, l-diversity, truncation
-#: recall, zorder layout report, Poisson bootstrap, quantile alignment,
-#: chunk-rewrite ledger, pHash multi-index pairs, the two ABTT
-#: isotropy ops, winnow match spans; second batch: FD audit, graded
-#: nDCG eval, Heaps/Zipf law fits, packing waste curve, multi-touch
-#: attribution, LSH threshold sweep, transition entropy, audio silence
-#: runs, lang-ID confusion/metrics, event burstiness, the two layout
-#: advisors, PSI drift, revenue decomposition, the co-purchase degree
-#: histogram/assortativity pair, relational division); (a') re-rows for the four whose
-#: plan AND oracle changed — winnowed_fingerprints / winnow_match_pairs
-#: (segment-local packed positions: exact for unbounded document
-#: length) and content_defined_chunks / chunk_dedup_report (FastCDC
-#: MIN/MAX chunk bounds); (b) the two change-sensitive sentinels; (c)
-#: staleness rotation — the r5 cohort (now the oldest driver rows). The
-#: new operators squeeze the rotation to 8 of the cohort's 42; the
-#: remaining tuple entries sit past slot 50 and lead the r11 rotation.
+#: r11 window (the r10 verdict's #1 ask — staleness rotation leads):
+#: (a) the 34-query r5 cohort, the oldest hash-green driver rows in the
+#: ledger — checked before the observed-write runner (r7), the
+#: commit-marker catalog (r10), and the multi-consumer persist pass
+#: (r10); their r11 hashes are the evidence those refactors changed
+#: nothing. (b) the two change-sensitive sentinels. (c) event_burstiness,
+#: whose plan AND oracle changed this round (zero-mean 0/0 guard → NULL
+#: cv/burstiness, both engines). (d) first driver rows for the queries
+#: NEW this round. 34 + 2 + 1 + new ≤ 50: every listed name lands in
+#: the driver's window.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) NEW in round 10 — first driver rows
-    "functional_dependency_audit",
-    "retrieval_ndcg_eval",
-    "heaps_law_fit",
-    "zipf_law_fit",
-    "packing_waste_curve",
-    "multi_touch_attribution",
-    "minhash_threshold_sweep",
-    "transition_entropy",
-    "audio_silence_segments",
-    "lang_id_confusion",
-    "lang_id_class_metrics",
-    "event_burstiness",
-    "partition_layout_advisor",
-    "bloom_sizing_plan",
-    "psi_drift",
-    "revenue_decomposition",
-    "copurchase_degree_histogram",
-    "copurchase_graph_profile",
-    "parts_in_all_regions",
-    "four_step_path_counts",
-    "split_leakage_report",
-    "neyman_allocation_plan",
-    "binned_quantiles_by_type",
-    "postings_compression_plan",
-    "erasure_cascade_audit",
-    "rank_overlap_rbo",
-    "l_diversity_report",
-    "embedding_truncation_recall",
-    "zorder_file_skipping",
-    "bootstrap_revenue_means",
-    "source_quantile_align",
-    "chunk_dedup_ledger",
-    "image_phash_near_pairs",
-    "embedding_top_direction",
-    "embedding_isotropy_report",
-    "winnow_match_spans",
-    # (a') changed in round 10 — must re-green
-    "winnowed_fingerprints",
-    "winnow_match_pairs",
-    "content_defined_chunks",
-    "chunk_dedup_report",
-    # (b) change-sensitive sentinels
-    "customer_segments",
-    "curated_training_set",
-    # (c) rotation: the r5 cohort — oldest driver rows
-    "change_log",
-    "churned_customers_yoy",
-    "clean_corpus",
-    "cluster_representatives",
-    "compression_gate",
-    "conversion_funnel",
-    "copurchase_pairs",
-    "corpus_gate_funnel",
+    # (a) staleness rotation: the 34-query r5 cohort — every latest
+    # green row predates the r7/r10 cross-cutting refactors (the 8
+    # cohort members re-greened in r10's rotation tail are excluded)
     "customer_order_sets",
     "customers_without_orders",
     "dedup_components",
@@ -156,6 +96,28 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "shard_manifest",
     "source_semantic_diversity",
     "text_normalize",
+    # (b) change-sensitive sentinels
+    "customer_segments",
+    "curated_training_set",
+    # (c) changed in round 11 — must re-green
+    "event_burstiness",
+    # (d) NEW in round 11 — first driver rows. Each new operator lands
+    # here, displacing one (e)-padding name down past slot 50.
+    # (e) padding to the 50-slot window: the oldest r7-era rows, next
+    # in the staleness rotation after the r5 cohort
+    "ab_test_zscores",
+    "ann_ivfpq_topk",
+    "benford_digit_audit",
+    "bigram_lift",
+    "bilateral_trade_volume",
+    "bloom_pruned_revenue",
+    "bm25_topk",
+    "bulk_order_customers",
+    "chisq_independence",
+    "cohort_ltv_curves",
+    "containment_pairs",
+    "copurchase_pagerank",
+    "copurchase_triangles",
 )
 
 
