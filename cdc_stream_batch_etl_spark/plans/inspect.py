@@ -42,6 +42,18 @@ class PlanProfile:
         return self.n_exchanges > 0
 
 
+def scan_exchange_counts(df: DataFrame) -> tuple[int, int]:
+    """The two scale-critical plan counters — (parquet/cache scans,
+    Exchange nodes) — from ONE simple-mode explain. The light form of
+    ``profile`` for registry-wide budget sweeps, where the codegen
+    explain would triple the cost of profiling 264 plans."""
+    simple = plan_string(df, "simple")
+    return (
+        len(re.findall(r"FileScan|InMemoryTableScan", simple)),
+        simple.count("Exchange"),
+    )
+
+
 def profile(df: DataFrame) -> PlanProfile:
     formatted = plan_string(df, "formatted")
     simple = plan_string(df, "simple")
