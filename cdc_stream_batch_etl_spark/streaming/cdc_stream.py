@@ -28,11 +28,20 @@ from pyspark.sql import functions as F
 from .. import schemas
 
 
-def parse_envelope(raw: DataFrame, table: str) -> DataFrame:
+def parse_envelope(raw: DataFrame, table: str, row_schema=None) -> DataFrame:
     """S5: Kafka value bytes → typed envelope → flat change frame
     (cdc_processor.py:26-43). `raw` must have a `value` (string/binary)
-    column, e.g. from readStream.format('kafka')."""
-    env = schemas.cdc_envelope(schemas.TABLE_SCHEMAS[table])
+    column, e.g. from readStream.format('kafka').
+
+    ``row_schema`` overrides the registered table schema — the Debezium
+    ALTER TABLE path (SURVEY S11): when the upstream table gains a
+    column, the consumer restarts on the SAME checkpoint with the
+    widened schema; from_json reads old envelopes (missing field →
+    NULL) and new ones alike, and the downstream latest-state merge is
+    schema-agnostic (payload travels as JSON), so old bucket files and
+    new-envelope rows coexist — torture-tested in
+    tests/test_schema_evolution.py."""
+    env = schemas.cdc_envelope(row_schema or schemas.TABLE_SCHEMAS[table])
     return (
         raw.select(F.from_json(F.col("value").cast("string"), env).alias("e"))
         .select(
