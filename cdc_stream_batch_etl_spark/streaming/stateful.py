@@ -21,9 +21,12 @@ Forward path: Spark 4's ``transformWithStateInPandas`` (typed
 ValueState/ListState/MapState + timers, schema evolution, RocksDB-only)
 is the successor API and a drop-in home for this operator's logic. It is
 NOT used here because its driver worker requires ``google.protobuf``,
-which this environment does not ship (verified: the TWS init handshake
-dies in StateMessage_pb2 on import). The applyInPandasWithState form is
-feature-complete for every state shape the engine needs.
+which this environment does not ship (verified r10, re-verified r11:
+StateMessage_pb2 imports google.protobuf). The applyInPandasWithState
+form is feature-complete for every state shape the engine needs.
+Migration evaluated side-by-side in quantile_tws.py (r11): one shape
+implemented under BOTH APIs with shared fold/read-out logic and a
+parity test gated on the protobuf blocker — decision: keep.
 """
 
 from __future__ import annotations
