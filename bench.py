@@ -338,6 +338,15 @@ HEADLINE: list[str] = [
     "copurchase_degree_histogram",
     "copurchase_graph_profile",
     "parts_in_all_regions",
+    # round 11: new operators
+    "tokenizer_fertility",
+    "ccnet_lm_buckets",
+    "epoch_allocation_plan",
+    "wilson_quality_ci",
+    "source_divergence_report",
+    "label_propagation_communities",
+    "time_series_cv_folds",
+    "blocking_efficiency_report",
 ]
 
 

@@ -101,8 +101,15 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "curated_training_set",
     # (c) changed in round 11 — must re-green
     "event_burstiness",
-    # (d) NEW in round 11 — first driver rows. Each new operator lands
-    # here, displacing one (e)-padding name down past slot 50.
+    # (d) NEW in round 11 — first driver rows
+    "tokenizer_fertility",
+    "ccnet_lm_buckets",
+    "epoch_allocation_plan",
+    "wilson_quality_ci",
+    "source_divergence_report",
+    "label_propagation_communities",
+    "time_series_cv_folds",
+    "blocking_efficiency_report",
     # (e) padding to the 50-slot window: the oldest r7-era rows, next
     # in the staleness rotation after the r5 cohort
     "ab_test_zscores",
@@ -110,14 +117,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "benford_digit_audit",
     "bigram_lift",
     "bilateral_trade_volume",
-    "bloom_pruned_revenue",
-    "bm25_topk",
-    "bulk_order_customers",
-    "chisq_independence",
-    "cohort_ltv_curves",
-    "containment_pairs",
-    "copurchase_pagerank",
-    "copurchase_triangles",
 )
 
 
@@ -328,6 +327,16 @@ def load_all() -> None:
     from .operators import gini  # noqa: F401  spend_gini — exact rank-weighted Gini from decimal sufficient stats (new r7)
     from .operators import duporders  # noqa: F401  duplicate_order_pairs — blocked transaction-dedup screen (new r7)
     from .operators import newreturning  # noqa: F401  new_vs_returning_revenue — monthly acquisition split (new r7)
+
+    # round 11
+    from .text import fertility  # noqa: F401  tokenizer_fertility — per-lang tokens/word + bytes/token (new r11)
+    from .text import ccnet  # noqa: F401  ccnet_lm_buckets — head/middle/tail perplexity terciles per lang (new r11)
+    from .text import epochs  # noqa: F401  epoch_allocation_plan — data-constrained repeat-epoch value ledger (new r11)
+    from .text import wilson  # noqa: F401  wilson_quality_ci — per-source pass rate with Wilson 95% interval (new r11)
+    from .operators import communities  # noqa: F401  label_propagation_communities — K-round min-label LPA (new r11)
+    from .operators import tscv  # noqa: F401  time_series_cv_folds — expanding-window temporal CV splits (new r11)
+    from .operators import blocking  # noqa: F401  blocking_efficiency_report — dedup blocking-key audit (new r11)
+    from .text import divergence  # noqa: F401  source_divergence_report — per-source TV/Bhattacharyya vs corpus (new r11)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

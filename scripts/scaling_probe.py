@@ -88,7 +88,12 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "lang_id_confusion", "lang_id_class_metrics", "event_burstiness",
           "partition_layout_advisor", "bloom_sizing_plan", "psi_drift",
           "revenue_decomposition", "copurchase_degree_histogram",
-          "copurchase_graph_profile", "parts_in_all_regions"]
+          "copurchase_graph_profile", "parts_in_all_regions",
+          # round 11
+          "tokenizer_fertility", "ccnet_lm_buckets", "epoch_allocation_plan",
+          "wilson_quality_ci", "source_divergence_report",
+          "label_propagation_communities", "time_series_cv_folds",
+          "blocking_efficiency_report"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
