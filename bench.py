@@ -347,6 +347,9 @@ HEADLINE: list[str] = [
     "label_propagation_communities",
     "time_series_cv_folds",
     "blocking_efficiency_report",
+    "hll_distinct_by_type",
+    "k_core_decomposition",
+    "repurchase_survival_km",
 ]
 
 

@@ -110,13 +110,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "label_propagation_communities",
     "time_series_cv_folds",
     "blocking_efficiency_report",
+    "hll_distinct_by_type",
+    "k_core_decomposition",
+    "repurchase_survival_km",
     # (e) padding to the 50-slot window: the oldest r7-era rows, next
     # in the staleness rotation after the r5 cohort
     "ab_test_zscores",
     "ann_ivfpq_topk",
-    "benford_digit_audit",
-    "bigram_lift",
-    "bilateral_trade_volume",
 )
 
 
@@ -337,6 +337,9 @@ def load_all() -> None:
     from .operators import tscv  # noqa: F401  time_series_cv_folds — expanding-window temporal CV splits (new r11)
     from .operators import blocking  # noqa: F401  blocking_efficiency_report — dedup blocking-key audit (new r11)
     from .text import divergence  # noqa: F401  source_divergence_report — per-source TV/Bhattacharyya vs corpus (new r11)
+    from .operators import hll  # noqa: F401  hll_distinct_by_type — md5-deterministic HyperLogLog registers + raw estimate (new r11)
+    from .operators import kcore  # noqa: F401  k_core_decomposition — bounded k-core peel ledger over the co-purchase graph (new r11)
+    from .operators import survival  # noqa: F401  repurchase_survival_km — Kaplan-Meier weeks-to-next-order with censoring (new r11)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

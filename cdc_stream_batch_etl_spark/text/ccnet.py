@@ -47,7 +47,7 @@ ranked AS (
 SELECT lang,
        CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
        count(*) AS n_docs,
-       sum(n_tokens) AS n_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        min(score) AS min_score,
        max(score) AS max_score
 FROM ranked

@@ -40,7 +40,7 @@ MAX_EPOCHS = 6
 
 _EPOCH_ORACLE = f"""
 WITH src AS (
-  SELECT source, sum(len(string_split(text, ' '))) AS d_tokens
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS d_tokens
   FROM documents GROUP BY source
 ),
 plan AS (
@@ -49,7 +49,7 @@ plan AS (
   FROM src, unnest(range(1, {MAX_EPOCHS + 1})) AS t(r)
 )
 SELECT source, epochs, d_tokens,
-       epochs * d_tokens AS tokens_spent,
+       CAST(epochs * d_tokens AS BIGINT) AS tokens_spent,
        d_tokens * (2.0 - marginal_rate) AS effective_tokens,
        (2.0 - marginal_rate) / epochs AS utilization,
        marginal_rate AS marginal_effective_per_token

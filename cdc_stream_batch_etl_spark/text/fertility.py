@@ -41,9 +41,9 @@ WITH d AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_ws) AS n_ws_tokens,
-       sum(n_bpe) AS n_bpe_tokens,
-       sum(n_bytes) AS n_bytes,
+       CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
        CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws) AS fertility,
        CAST(sum(n_bytes) AS DOUBLE) / sum(n_bpe) AS bytes_per_bpe_token,
        CAST(sum(n_bytes) AS DOUBLE) / sum(n_ws) AS bytes_per_word

@@ -49,7 +49,7 @@ WITH d AS (
 ),
 agg AS (
   SELECT source, count(*) AS n_docs,
-         sum(pass) AS n_pass,
+         CAST(sum(pass) AS BIGINT) AS n_pass,
          CAST(sum(pass) AS DOUBLE) / count(*) AS p_hat
   FROM d GROUP BY source
 )

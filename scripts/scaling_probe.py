@@ -93,7 +93,8 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "tokenizer_fertility", "ccnet_lm_buckets", "epoch_allocation_plan",
           "wilson_quality_ci", "source_divergence_report",
           "label_propagation_communities", "time_series_cv_folds",
-          "blocking_efficiency_report"]
+          "blocking_efficiency_report", "hll_distinct_by_type",
+          "k_core_decomposition", "repurchase_survival_km"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently

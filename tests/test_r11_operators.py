@@ -264,3 +264,91 @@ def test_divergence_disjoint_sources(spark, monkeypatch):
         assert got[s].bhattacharyya == pytest.approx(
             2 * math.sqrt(0.5 * 0.25), abs=1e-12
         )
+
+
+# ---------------------------------------------------------------------------
+# HLL: operating-range accuracy + register determinism
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_in_operating_range(spark):
+    """n=1500 distinct > 2.5m/…: raw HLL's standard error is
+    1.04/sqrt(512) ≈ 4.6%; assert the estimate lands within 3σ."""
+    import cdc_stream_batch_etl_spark.operators.hll as hll
+
+    ev = spark.range(1500).selectExpr(
+        "id AS user_id", "'purchase' AS event_type"
+    )
+    orig = hll.load_table
+    try:
+        hll.load_table = lambda s, d, t: ev  # noqa: ARG005
+        r = hll.hll_distinct_by_type(spark, "x").collect()[0]
+    finally:
+        hll.load_table = orig
+    assert r.n_distinct_exact == 1500
+    assert abs(r.raw_estimate - 1500) / 1500 < 3 * 1.04 / math.sqrt(512)
+    assert r.registers_used + r.empty_registers == 512
+
+
+# ---------------------------------------------------------------------------
+# k-core: planted graph with a known 3-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark, monkeypatch):
+    """K4 clique (every node degree 3) + a chain hanging off it: one
+    peel removes the whole chain, the clique is the 3-core fixpoint."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5), (5, 6), (6, 7)]                          # tendril
+    rows = []
+    order = 0
+    for a, b in edges:
+        for _ in range(2):  # clear MIN_SUPPORT
+            order += 1
+            rows += [(order, a), (order, b)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    _patch(monkeypatch, basket, li)
+    from cdc_stream_batch_etl_spark.operators.kcore import k_core_decomposition
+
+    got = {r.round: (r.nodes_remaining, r.edges_remaining)
+           for r in k_core_decomposition(spark, "x").collect()}
+    assert got[0] == (7, 9)
+    # one peel removes the whole tendril (degrees 2, 2, 1 all < 3);
+    # the K4 clique is the 3-core fixpoint — rounds 2 and 3 hold it,
+    # and the equal consecutive rows make convergence visible
+    assert got[1] == (4, 6)
+    assert got[2] == (4, 6)
+    assert got[3] == (4, 6)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier: hand-computed curve with censoring
+# ---------------------------------------------------------------------------
+
+
+def test_km_hand_computed_with_censoring(spark, monkeypatch):
+    """3 customers: A orders at day 0 and day 14 (event gap 2 weeks,
+    then censored 2w to the horizon at day 28); B at day 0 and 28
+    (event 4w, censored 0w); C at day 0 only (censored 4w).
+    Observations: events {2w, 4w}, censored {2w, 0w, 4w}.
+    n_risk(2w) = 4 (all with time >= 2: two 2w, two 4w), d(2)=1 -> S=0.75
+    n_risk(4w) = 2, d(4)=1 -> S = 0.75 * 0.5 = 0.375."""
+    import cdc_stream_batch_etl_spark.operators.survival as sv
+
+    d0, d14, d28 = (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 15),
+                    dt.datetime(2024, 1, 29))
+    rows = [
+        (1, 10, 1.0, d0), (2, 10, 1.0, d14),
+        (3, 20, 1.0, d0), (4, 20, 1.0, d28),
+        (5, 30, 1.0, d0),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderdate timestamp"
+    )
+    _patch(monkeypatch, sv, orders)
+    got = {r.t_weeks: r for r in sv.repurchase_survival_km(spark, "x").collect()}
+    assert set(got) == {2, 4}
+    assert (got[2].n_risk, got[2].d_events) == (4, 1)
+    assert got[2].survival == 0.75
+    assert (got[4].n_risk, got[4].d_events) == (2, 1)
+    assert got[4].survival == 0.375
