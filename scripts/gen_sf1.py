@@ -62,6 +62,12 @@ def read(t: str) -> pd.DataFrame:
 
 def write(t: str, df: pd.DataFrame, schema: pa.Schema | None = None) -> None:
     os.makedirs(OUT, exist_ok=True)
+    # pandas datetimes default to ns; the driver's parquet carries
+    # TIMESTAMP(MICROS) and several query paths cast through DATE —
+    # normalize so the physical type matches the real fixtures
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
     pq.write_table(table, f"{OUT}/{t}.parquet")
     print(f"{t}: {len(df):,} rows")
