@@ -17,7 +17,13 @@ metric is not comparable).
 Determinism: the day blocks are ntile(K+1) over the total order
 (order_date) on the DAILY aggregate — distinct days, no ties; all
 measures are integer counts, date min/max picks, and decimal(18,2)
-sums. No floats anywhere.
+sums. Revenue is decimal INSIDE the plan; the export casts to double
+in both legs (repo convention: no DecimalType leaves a registered
+query — the driver's value-hash is type-kind-sensitive, and Spark
+exports Decimal objects where DuckDB exports float64; the values are
+exact decimals <= 12 significant digits so the double cast is
+deterministic). This was the r11 hash-fail — see VERDICT r11 §What's
+wrong #1.
 
 Scale: one orders scan → one date-keyed hash agg (map-side partials)
 collapses the corpus to ~2,400 daily rows; the ntile window runs on
@@ -54,8 +60,8 @@ SELECT fold,
        max(day) FILTER (WHERE blk <= fold) AS train_end,
        min(day) FILTER (WHERE blk = fold + 1) AS test_start,
        max(day) FILTER (WHERE blk = fold + 1) AS test_end,
-       CAST(sum(revenue) FILTER (WHERE blk <= fold) AS DECIMAL(18,2)) AS train_revenue,
-       CAST(sum(revenue) FILTER (WHERE blk = fold + 1) AS DECIMAL(18,2)) AS test_revenue
+       CAST(CAST(sum(revenue) FILTER (WHERE blk <= fold) AS DECIMAL(18,2)) AS DOUBLE) AS train_revenue,
+       CAST(CAST(sum(revenue) FILTER (WHERE blk = fold + 1) AS DECIMAL(18,2)) AS DOUBLE) AS test_revenue
 FROM blocked CROSS JOIN folds
 GROUP BY fold
 ORDER BY fold
@@ -94,9 +100,11 @@ def time_series_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(test, F.col("day"))).alias("test_end"),
             F.sum(F.when(train, F.col("revenue")))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("train_revenue"),
             F.sum(F.when(test, F.col("revenue")))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("test_revenue"),
         )
         .orderBy("fold")

@@ -48,75 +48,76 @@ ROWS_ONLY: dict[str, str] = {
 #: keep their registration order after the listed ones; listed names missing
 #: from the registry are ignored (defensive — lets the list lead the code).
 #:
-#: r11 window (the r10 verdict's #1 ask — staleness rotation leads):
-#: (a) the 34-query r5 cohort, the oldest hash-green driver rows in the
-#: ledger — checked before the observed-write runner (r7), the
-#: commit-marker catalog (r10), and the multi-consumer persist pass
-#: (r10); their r11 hashes are the evidence those refactors changed
-#: nothing. (b) the two change-sensitive sentinels. (c) event_burstiness,
-#: whose plan AND oracle changed this round (zero-mean 0/0 guard → NULL
-#: cv/burstiness, both engines). (d) first driver rows for the queries
-#: NEW this round. 34 + 2 + 1 + new ≤ 50: every listed name lands in
-#: the driver's window.
+#: r12 window (the r11 verdict's #1/#2 asks, verbatim): (a)
+#: time_series_cv_folds FIRST — the round's one hash-fail (DecimalType
+#: export; plan changed this round: both revenue columns now cast to
+#: double at export in both legs). (b) first driver rows for queries
+#: NEW this round. (c) the full 46-query r6-stale cohort — the oldest
+#: green evidence in the ledger (every row's latest green predates the
+#: r7 observed-write runner, the r10 commit-marker catalog, and the r10
+#: multi-consumer persist pass). (d) r7-era padding to the 50-slot
+#: boundary. 1 + new + 46 + pad: the driver checks exactly the first
+#: 50 entries; overflow names simply roll to the r13 rotation.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) staleness rotation: the 34-query r5 cohort — every latest
-    # green row predates the r7/r10 cross-cutting refactors (the 8
-    # cohort members re-greened in r10's rotation tail are excluded)
-    "customer_order_sets",
-    "customers_without_orders",
-    "dedup_components",
-    "dsir_importance",
-    "dup_cluster_stats",
-    "embedding_outliers",
-    "entity_lifecycle",
-    "entity_running_totals",
-    "incremental_dedup",
-    "latest_state",
-    "lsh_bucket_stats",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "multimodal_audio_stats",
-    "ngram_jaccard_pairs",
-    "order_analytics",
-    "order_priority_pivot",
-    "order_status_rollup",
-    "order_status_rollup_cube",
-    "parts_never_sold",
-    "pipeline_health",
-    "pricing_summary",
-    "product_insights",
-    "purchase_context_window",
-    "quality_classifier",
-    "repeat_customers_yoy",
-    "retention_cohorts",
-    "revenue_analytics",
-    "running_revenue",
-    "semantic_cell_stats",
-    "semantic_dedup",
-    "shard_manifest",
-    "source_semantic_diversity",
-    "text_normalize",
-    # (b) change-sensitive sentinels
-    "customer_segments",
-    "curated_training_set",
-    # (c) changed in round 11 — must re-green
-    "event_burstiness",
-    # (d) NEW in round 11 — first driver rows
-    "tokenizer_fertility",
-    "ccnet_lm_buckets",
-    "epoch_allocation_plan",
-    "wilson_quality_ci",
-    "source_divergence_report",
-    "label_propagation_communities",
+    # (a) changed in round 12 — the r11 hash-fail, must re-green
     "time_series_cv_folds",
-    "blocking_efficiency_report",
-    "hll_distinct_by_type",
-    "k_core_decomposition",
-    "repurchase_survival_km",
-    # (e) padding to the 50-slot window: the oldest r7-era rows, next
-    # in the staleness rotation after the r5 cohort
-    "ab_test_zscores",
-    "ann_ivfpq_topk",
+    # (b) NEW in round 12 — first driver rows
+    "prefix_filter_jaccard_pairs",
+    "group_kfold_assignment",
+    "rolling_distinct_users",
+    # (c) staleness rotation: the full 46-query r6 cohort
+    "bigram_lift",
+    "bilateral_trade_volume",
+    "bulk_order_customers",
+    "containment_pairs",
+    "countmin_sketch",
+    "customer_order_distribution",
+    "customer_reach",
+    "data_quality_report",
+    "dedup_ledger",
+    "dedup_survivor_weights",
+    "edit_distance_pairs",
+    "embedding_dim_stats",
+    "event_transitions",
+    "forecast_revenue_change",
+    "fulfillment_lag",
+    "image_phash_dedup",
+    "image_png_roundtrip",
+    "k_anonymity_report",
+    "key_skew_report",
+    "kmv_distinct_by_type",
+    "late_order_priorities",
+    "lexical_stats",
+    "local_supplier_volume",
+    "market_share",
+    "min_cost_supplier",
+    "ngram_novelty",
+    "part_supplier_variety",
+    "priority_shipping_split",
+    "promo_revenue_share",
+    "returned_item_report",
+    "semantic_dedup_imi",
+    "service_health",
+    "small_lot_revenue",
+    "sole_blame_suppliers",
+    "source_vocab_overlap",
+    "state_asof",
+    "state_diff",
+    "state_dwell_times",
+    "stratified_kfold",
+    "time_to_convert",
+    "token_quota_by_source",
+    "training_shuffle",
+    "ts_similarity_topk",
+    "value_drift",
+    "value_histogram",
+    "winsorize_values",
+    # (d) padding to the 50-slot window: the oldest r7-era rows, next
+    # in the staleness rotation after the r6 cohort (alphabetical)
+    "benford_digit_audit",
+    "bloom_pruned_revenue",
+    "bm25_topk",
+    "chisq_independence",
 )
 
 

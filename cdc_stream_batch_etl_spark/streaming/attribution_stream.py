@@ -180,6 +180,17 @@ def _update(
         )
         if buf:
             state.setTimeoutTimestamp(max(buf[0][0] // 1000, wm_us // 1000 + 1))
+        else:
+            # pending-only key (r11 ADVICE): with no unsealed events the
+            # key would never be re-invoked and sealed touches would
+            # linger forever for a silent user. Wake when the NEWEST
+            # pending touch ages past the lookback — at that watermark
+            # the eviction above empties pending and state.remove()
+            # fires. (pending is sealed in event-time order, so [-1] is
+            # the newest.)
+            state.setTimeoutTimestamp(
+                max((pending[-1][0] + _LOOKBACK_US) // 1000 + 1, wm_us // 1000 + 1)
+            )
     else:
         # nothing pending, nothing buffered: the key is forgettable —
         # a later event re-creates state from empty, losing nothing

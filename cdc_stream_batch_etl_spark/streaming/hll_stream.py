@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,16 +58,23 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType([StructField("regs", ArrayType(LongType()))])
 
 
-def _fold_registers(regs: list[int], hvs: list[int]) -> list[int]:
+def _fold_registers(regs: list[int], hvs: "np.ndarray") -> list[int]:
     """Element-wise max-merge of a batch of hashes into the register
-    array — the HLL monoid operation (vectorized per Arrow chunk)."""
-    for hv in hvs:
-        bucket = hv >> _W_BITS
-        w = hv & ((1 << _W_BITS) - 1)
-        rho = _W_BITS + 1 if w == 0 else _W_BITS + 1 - w.bit_length()
-        if rho > regs[bucket]:
-            regs[bucket] = rho
-    return regs
+    array — the HLL monoid operation, vectorized with numpy (r11 ADVICE:
+    the old per-row loop was a throughput hotspot at high per-key rates).
+
+    bit_length(w) is recovered exactly via np.frexp: for 0 < w < 2^53
+    the float64 representation is exact and the frexp exponent IS the
+    bit length (hv is a 60-bit md5 integer, so w < 2^51 — integer-exact,
+    no log/exp rounding in sight, per the repo's determinism rule)."""
+    hv = np.asarray(hvs, dtype=np.int64)
+    bucket = hv >> _W_BITS
+    w = hv & ((1 << _W_BITS) - 1)
+    _, e = np.frexp(w.astype(np.float64))
+    rho = np.where(w == 0, _W_BITS + 1, _W_BITS + 1 - e).astype(np.int64)
+    regs_arr = np.asarray(regs, dtype=np.int64)
+    np.maximum.at(regs_arr, bucket, rho)
+    return regs_arr.tolist()
 
 
 def readout(regs: list[int]) -> tuple[int, int, int, float]:
@@ -91,7 +99,7 @@ def _sketch(
     regs = list(regs)
     for pdf in pdfs:
         if len(pdf):
-            regs = _fold_registers(regs, pdf["hv"].tolist())
+            regs = _fold_registers(regs, pdf["hv"].to_numpy())
     state.update((regs,))
     used, empty, mx, est = readout(regs)
     yield pd.DataFrame(

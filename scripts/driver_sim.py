@@ -83,6 +83,14 @@ def main() -> int:
                     # that here: int-kind vs float-kind is a MISMATCH.
                     if (a[c].dtype.kind in "iu") != (b[c].dtype.kind in "iu"):
                         ok = False
+                    # Same trap for DecimalType exports (the r11
+                    # time_series_cv_folds lesson): Spark decimal(p,s)
+                    # arrives as object-dtype decimal.Decimal cells while
+                    # DuckDB decimals arrive as float64 — value-equal but
+                    # hash-different in the real driver. Object-kind vs
+                    # float-kind is a MISMATCH too.
+                    if a[c].dtype.kind == "O" or b[c].dtype.kind == "O":
+                        ok = False
                     ok = ok and np.allclose(
                         a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True
                     )

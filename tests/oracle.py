@@ -49,6 +49,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_df_matches(spark_df, oracle_df: pd.DataFrame, float_atol: float = 0.0) -> None:
+    # The driver's value-hash is type-KIND-sensitive: Spark DecimalType
+    # exports as object-dtype decimal.Decimal cells while DuckDB decimals
+    # export as float64, so value-equal frames still hash-differently
+    # (the r11 time_series_cv_folds failure). Repo convention: decimal
+    # arithmetic inside the plan, double (or string) at export.
+    decimal_cols = [
+        f.name for f in spark_df.schema.fields if f.dataType.typeName().startswith("decimal")
+    ]
+    assert not decimal_cols, (
+        f"DecimalType in exported schema {decimal_cols}: the driver hash "
+        f"treats Decimal objects != DuckDB float64 — cast to double at export"
+    )
     pdf = spark_df.toPandas()
     assert set(pdf.columns) == set(oracle_df.columns), (
         f"column mismatch: spark={sorted(pdf.columns)} oracle={sorted(oracle_df.columns)}"

@@ -206,6 +206,60 @@ def test_restart_settles_each_touch_once(spark, tmp_path, sf_dir):
     assert streamed == exp
 
 
+def test_pending_only_key_state_is_eventually_removed(spark, tmp_path):
+    """r11 ADVICE: a user whose only events are SEALED touches (never a
+    purchase, nothing buffered) used to get no timeout, so their state
+    row lingered in the store forever. The pending-only timeout (wake at
+    newest-touch + lookback) must let the eviction empty it and
+    state.remove() fire — observable as stateOperators.numRowsTotal
+    dropping to just the still-live flush key on the final batch."""
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    src = str(tmp_path / "src_silent")
+    # batch 1: user 1's lone touch, then silence forever
+    spark.createDataFrame([(1, T0, 1, "view")], schema).coalesce(1).write.parquet(
+        f"{src}/batch_1"
+    )
+    # batch 2: advance the watermark past T0 (seals the touch → pending)
+    spark.createDataFrame(
+        [(8, T0 + dt.timedelta(days=40), FLUSH_USER, "flush")], schema
+    ).coalesce(1).write.parquet(f"{src}/batch_2")
+    # batch 3: advance it past T0 + lookback(7d) so the pending-only
+    # timeout fires and the eviction empties user 1's pending list
+    spark.createDataFrame(
+        [(9, T0 + dt.timedelta(days=80), FLUSH_USER, "flush")], schema
+    ).coalesce(1).write.parquet(f"{src}/batch_3")
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/batch_*")
+    )
+    q = (
+        attribution_stream(stream_src, watermark="30 days")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("attr_silent")
+        .option("checkpointLocation", str(tmp_path / "ckpt_silent"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    last_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (pr.asDict(recursive=True) if hasattr(pr, "asDict") else pr for pr in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    assert last_rows, "no state-operator progress recorded"
+    # only the flush key (whose newest touch is still inside the
+    # lookback at the final watermark) may remain; user 1 must be gone
+    assert last_rows[-1] <= 1, (
+        f"pending-only key state lingered: numRowsTotal={last_rows[-1]} "
+        f"(history {last_rows})"
+    )
+    assert spark.sql(
+        "SELECT count(*) AS n FROM attr_silent WHERE user_id = 1"
+    ).first().n == 0  # the touch never settles — no purchase ever
+
+
 def test_position_weights_sum_to_one():
     for n in (1, 2, 3, 4, 10, 100):
         assert abs(sum(position_weight(p, n) for p in range(1, n + 1)) - 1.0) < 1e-12

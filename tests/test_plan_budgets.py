@@ -45,6 +45,19 @@ def test_every_registered_query_has_a_budget():
     assert not missing, f"queries without a plan budget: {missing}"
 
 
+def test_no_orphaned_budgets():
+    """The reverse direction: a budget row whose query was removed must
+    not linger (test_plan_within_budget skips unknown names, so stale
+    rows would otherwise accumulate silently — r11 ADVICE). Removing a
+    query means consciously regenerating the snapshot."""
+    registry.load_all()
+    orphaned = sorted(set(BUDGETS) - set(registry.QUERIES))
+    assert not orphaned, (
+        f"plan_budgets.json rows for unregistered queries: {orphaned} — "
+        f"re-run scripts/gen_plan_budgets.py after removing a query"
+    )
+
+
 def test_overrides_match_snapshot():
     for name, (scans, exchanges) in OVERRIDES.items():
         assert BUDGETS[name] == [scans, exchanges], (
