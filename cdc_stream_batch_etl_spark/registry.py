@@ -342,6 +342,11 @@ def load_all() -> None:
     from .operators import kcore  # noqa: F401  k_core_decomposition — bounded k-core peel ledger over the co-purchase graph (new r11)
     from .operators import survival  # noqa: F401  repurchase_survival_km — Kaplan-Meier weeks-to-next-order with censoring (new r11)
 
+    # round 12
+    from .dedup import prefixjoin  # noqa: F401  prefix_filter_jaccard_pairs — EXACT similarity join via AllPairs/PPJoin prefix filtering (new r12)
+    from .operators import gkfold  # noqa: F401  group_kfold_assignment — group-aware K-fold CV (no customer spans folds) (new r12)
+    from .operators import rollingdau  # noqa: F401  rolling_distinct_users — trailing-7d exact COUNT DISTINCT via bounded explode (new r12)
+
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
     ordered = {n: QUERIES[n] for n in WINDOW_PRIORITY if n in QUERIES}

@@ -2,7 +2,11 @@
 entry vs oracle_sql() through DuckDB at sf0.01, on a deliberately
 non-UTC plain SparkSession. Used by /verify before each commit.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [--window N | --queries a,b,c]
+       --window N  — check only the FIRST N queries() entries (the
+                     driver's 50-slot window order), e.g. for the
+                     rotating sf1 spot-check (r11 verdict #4)
+       --queries   — explicit comma-separated subset
 """
 
 from __future__ import annotations
@@ -24,10 +28,20 @@ TABLES = (
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf = (
+        sys.argv[1]
+        if len(sys.argv) > 1 and not sys.argv[1].startswith("--")
+        else "/root/testdata/sf0.01"
+    )
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", "America/New_York")
+        # default 1g JVM suffices at the driver's sf0.01; the sf1 spot-
+        # check (10x data, bigger broadcast builds) needs headroom
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .appName("driver-sim")
         .getOrCreate()
     )
@@ -46,9 +60,22 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+    names = sorted(qs)
+    if "--window" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--window") + 1])
+        names = list(qs)[:n]  # dict order IS the driver window order
+    elif "--queries" in sys.argv:
+        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
+
     bad = []
-    for name in sorted(qs):
-        sdf = qs[name](spark, sf).toPandas()
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf).toPandas()
+        except Exception as exc:  # noqa: BLE001 — mirror the driver: an
+            # erroring query is a per-row ERR, never an aborted sweep
+            bad.append(name)
+            print(f"{name:32s} ERROR {type(exc).__name__}: {str(exc)[:160]}")
+            continue
         if name not in osql:
             print(f"{name:32s} rows={len(sdf):6d} (rows-only)")
             continue

@@ -34,6 +34,11 @@ OVERRIDES = {
     # (PLANS.md header); runtime reuse is asserted separately in
     # test_plans.py::test_triangles_reuse_cached_graph_frames
     "copurchase_triangles": (99, 133),
+    # same lineage-counting quirk: the persisted shingle frame (toks)
+    # is referenced 4 ways, so the counter sees 12 lineage scans while
+    # the RUNTIME reads documents once (persist measured faster at
+    # sf0.1 AND collapses 6 table scans to 1 at 100 TB)
+    "prefix_filter_jaccard_pairs": (12, 9),
 }
 
 

@@ -1,0 +1,150 @@
+"""Round-12 operators: properties the DuckDB oracle sweep
+(test_queries.py) can't express — plan-level pruning claims and
+algebraic invariants."""
+
+import pyspark.sql.functions as F
+
+from cdc_stream_batch_etl_spark import registry
+from cdc_stream_batch_etl_spark.catalog import load_table
+from cdc_stream_batch_etl_spark.dedup import shingles_col
+from cdc_stream_batch_etl_spark.dedup.prefixjoin import (
+    T_DEN,
+    T_NUM,
+    prefix_filter_jaccard_pairs,
+)
+from cdc_stream_batch_etl_spark.operators.gkfold import K_FOLDS, group_kfold_assignment
+from cdc_stream_batch_etl_spark.operators.rollingdau import (
+    WINDOW_DAYS,
+    rolling_distinct_users,
+)
+
+registry.load_all()
+
+
+# ---------------------------------------------------------------- prefix join
+
+
+def test_prefix_join_equals_quadratic_yardstick(spark, sf_dir):
+    """The whole point: the prefix-filtered plan returns EXACTLY the
+    pairs the full shingle self-join (ngram_jaccard_pairs) returns —
+    exactness is not traded for the pruning (τ matches: both 0.5)."""
+    fast = {
+        (r.doc_a, r.doc_b): (r.shared, round(r.jaccard, 12))
+        for r in prefix_filter_jaccard_pairs(spark, sf_dir).collect()
+    }
+    slow = {
+        (r.doc_a, r.doc_b): (r.shared, round(r.jaccard, 12))
+        for r in registry.QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    assert fast == slow
+
+
+def test_prefix_pruning_joins_fewer_tokens(spark, sf_dir):
+    """The candidate join must run on substantially fewer rows than the
+    full token explode — at τ=0.5 the prefix is ~n/2 tokens, and it is
+    the RARE half (stop-shingles sort last and never enter the join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        F.size(shingles_col()).alias("n")
+    ).select(
+        "n",
+        (F.col("n") - F.expr(f"((n * {T_NUM} + {T_DEN - 1}) div {T_DEN})") + F.lit(1)).alias("p"),
+    ).agg(F.sum("n").alias("total"), F.sum("p").alias("prefix")).first()
+    assert stats.prefix < stats.total * 0.6, (
+        f"prefix carries {stats.prefix}/{stats.total} tokens — pruning "
+        f"is not engaging"
+    )
+
+
+# ---------------------------------------------------------------- group kfold
+
+
+def test_group_kfold_partitions_customers(spark, sf_dir):
+    """Every customer lands in exactly one fold; folds cover the table;
+    per-fold customer counts sum to the customer count."""
+    customer = load_table(spark, sf_dir, "customer")
+    report = group_kfold_assignment(spark, sf_dir).collect()
+    assert sorted(r.fold for r in report) == list(range(K_FOLDS))
+    assert sum(r.n_customers for r in report) == customer.count()
+    # assignment is a pure function of the key: re-running yields the
+    # identical report (content-addressed md5, no RNG state anywhere)
+    again = group_kfold_assignment(spark, sf_dir).collect()
+    assert sorted(map(tuple, report)) == sorted(map(tuple, again))
+
+
+def test_group_kfold_no_group_leakage(spark, sf_dir):
+    """No customer's orders can span folds: fold is derived from
+    c_custkey alone, so grouping orders by customer yields exactly one
+    fold per customer."""
+    from cdc_stream_batch_etl_spark.dedup import hash64_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    spans = (
+        orders.select(
+            "o_custkey",
+            (F.expr(hash64_expr("cast(o_custkey as string)")) % K_FOLDS).alias(
+                "fold"
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert spans == 0
+
+
+# ------------------------------------------------------------ k-core contract
+
+
+def test_kcore_reaches_fixpoint_within_declared_depth(spark, sf_dir):
+    """Backs the r12 depth-contract docstring: at the test SF the 3-peel
+    partial core IS the true k-core — the last two ledger rows are
+    equal. If data growth ever makes the fringe deeper, this fails and
+    PEEL_ROUNDS becomes a conscious decision instead of a silent
+    truncation."""
+    rows = sorted(
+        registry.QUERIES["k_core_decomposition"](spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    last, prev = rows[-1], rows[-2]
+    assert (last.nodes_remaining, last.edges_remaining) == (
+        prev.nodes_remaining,
+        prev.edges_remaining,
+    ), "3 peels no longer reach the fixpoint — revisit the depth contract"
+
+
+# ---------------------------------------------------------------- rolling DAU
+
+
+def test_rolling_dau_brute_force_spot_check(spark, sf_dir):
+    """users_7d on a mid-range day equals a direct distinct count over
+    the trailing window; users_1d equals the plain per-day distinct."""
+    events = load_table(spark, sf_dir, "events")
+    rows = {r.day: r for r in rolling_distinct_users(spark, sf_dir).collect()}
+    days = sorted(rows)
+    assert days[-1] == events.agg(F.max(F.col("ts").cast("date"))).first()[0]
+    probe = days[len(days) // 2]
+    direct_7d = (
+        events.filter(
+            (F.col("ts").cast("date") <= F.lit(probe))
+            & (
+                F.col("ts").cast("date")
+                >= F.date_sub(F.lit(probe), WINDOW_DAYS - 1)
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    direct_1d = (
+        events.filter(F.col("ts").cast("date") == F.lit(probe))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[probe].users_7d == direct_7d
+    assert rows[probe].users_1d == direct_1d
+    for r in rows.values():
+        assert 0 <= r.users_1d <= r.users_7d
+        assert abs(r.stickiness - r.users_1d / r.users_7d) == 0.0
