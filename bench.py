@@ -350,6 +350,10 @@ HEADLINE: list[str] = [
     "hll_distinct_by_type",
     "k_core_decomposition",
     "repurchase_survival_km",
+    # round 12
+    "prefix_filter_jaccard_pairs",
+    "group_kfold_assignment",
+    "rolling_distinct_users",
 ]
 
 

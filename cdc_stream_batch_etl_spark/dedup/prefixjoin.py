@@ -106,16 +106,33 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n", "shingle", "rn", prefix_len)
     )
-    prefix = ranked.filter(F.col("rn") <= F.col("p")).select("doc_id", "n", "shingle")
+    prefix = ranked.filter(F.col("rn") <= F.col("p")).select(
+        "doc_id", "n", "rn", "shingle"
+    )
 
     # candidate pairs: share >=1 prefix shingle + PPJoin length filter
     # (tau * max(na, nb) <= min(na, nb), integer form both directions)
+    # + PPJoin POSITIONAL filter: a match at ordered positions (i, j)
+    # can support an overlap of at most 1 + min(na-i, nb-j); a pair
+    # needs alpha = ceil(tau/(1+tau) * (na+nb)) common tokens, and the
+    # FIRST common token of a qualifying pair always satisfies the
+    # bound (everything shared sits at or after it on both sides), so
+    # pruning rows below alpha is lossless while cutting the candidate
+    # multiset BEFORE the distinct shuffle — the expensive step on
+    # vocabulary-saturated corpora (measured at sf1, SCALING.md r12).
     a, b = prefix.alias("a"), prefix.alias("b")
+    remaining = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+    )
     cand = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(F.col("b.n") * T_DEN >= F.col("a.n") * T_NUM)
         .filter(F.col("a.n") * T_DEN >= F.col("b.n") * T_NUM)
+        .filter(
+            remaining * (T_NUM + T_DEN)
+            >= (F.col("a.n") + F.col("b.n")) * T_NUM
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

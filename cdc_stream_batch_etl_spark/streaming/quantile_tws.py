@@ -12,7 +12,9 @@ timers — while the per-shape LOGIC (the sealing loops, the settle
 rules) transfers verbatim, as this module demonstrates: the bin-fold
 and read-out are IMPORTED from quantile_stream, unchanged.
 
-Environment verdict (kept from r10, re-verified r11): the TWS Python
+Environment verdict (kept from r10, re-verified r11 and r12 —
+``import google.protobuf`` still raises ModuleNotFoundError in this
+container): the TWS Python
 worker's driver↔worker handshake is protobuf-serialized and
 ``pyspark.sql.streaming.proto.StateMessage_pb2`` imports
 ``google.protobuf``, which this container does not ship — the API is
