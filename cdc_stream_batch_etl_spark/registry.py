@@ -65,6 +65,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "prefix_filter_jaccard_pairs",
     "group_kfold_assignment",
     "rolling_distinct_users",
+    "ks_drift",
+    "join_size_estimates",
+    "gopher_rules_report",
     # (c) staleness rotation: the full 46-query r6 cohort
     "bigram_lift",
     "bilateral_trade_volume",
@@ -346,6 +349,9 @@ def load_all() -> None:
     from .dedup import prefixjoin  # noqa: F401  prefix_filter_jaccard_pairs — EXACT similarity join via AllPairs/PPJoin prefix filtering (new r12)
     from .operators import gkfold  # noqa: F401  group_kfold_assignment — group-aware K-fold CV (no customer spans folds) (new r12)
     from .operators import rollingdau  # noqa: F401  rolling_distinct_users — trailing-7d exact COUNT DISTINCT via bounded explode (new r12)
+    from .operators import ksdrift  # noqa: F401  ks_drift — exact-on-grid two-sample Kolmogorov-Smirnov per event type (new r12)
+    from .operators import joinest  # noqa: F401  join_size_estimates — CBO join-cardinality estimator scorecard vs exact (new r12)
+    from .text import gopher  # noqa: F401  gopher_rules_report — per-rule Gopher §A1.1 quality-gate pass rates (new r12)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

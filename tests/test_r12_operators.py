@@ -148,3 +148,133 @@ def test_rolling_dau_brute_force_spot_check(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r.users_1d <= r.users_7d
         assert abs(r.stickiness - r.users_1d / r.users_7d) == 0.0
+
+
+# ------------------------------------------------------------------- KS drift
+
+
+def test_ks_drift_matches_numpy_ecdf(spark, sf_dir):
+    """One event_type's ks_stat equals a direct numpy two-sample KS on
+    the same cent grid and the same midpoint split — and the split +
+    counts are total-preserving."""
+    import numpy as np
+
+    from cdc_stream_batch_etl_spark.operators.ksdrift import ks_drift
+
+    events = load_table(spark, sf_dir, "events")
+    rows = {r.event_type: r for r in ks_drift(spark, sf_dir).collect()}
+    n_by_type = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(rows) == set(n_by_type)
+    for t, r in rows.items():
+        assert r.n_early + r.n_late == n_by_type[t]
+        assert 0.0 <= r.ks_stat <= 1.0
+        assert r.drifted == (1 if r.ks_stat > r.ks_crit else 0)
+
+    probe = sorted(rows)[0]
+    # the split point is the GLOBAL stream midpoint (one split for all
+    # types — cross-type KS rows share the same epoch boundary)
+    lo, hi = (
+        events.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+    )
+    raw = (
+        events.filter(F.col("event_type") == probe)
+        .select(F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    early = np.array(
+        sorted(int(np.floor(x.value * 100)) for x in raw if 2 * x.us <= lo + hi)
+    )
+    late = np.array(
+        sorted(int(np.floor(x.value * 100)) for x in raw if 2 * x.us > lo + hi)
+    )
+    grid = np.unique(np.concatenate([early, late]))
+    fa = np.searchsorted(early, grid, side="right") / len(early)
+    fb = np.searchsorted(late, grid, side="right") / len(late)
+    assert abs(rows[probe].ks_stat - float(np.max(np.abs(fa - fb)))) < 1e-12
+
+
+# --------------------------------------------------------- join size estimates
+
+
+def test_join_exact_size_matches_materialized_join(spark, sf_dir):
+    """The 'exact' row really is the joined-pair count: materializing
+    clicks ⋈ purchases on user_id (the thing the operator exists to
+    avoid) agrees, and its q_ratio is exactly 1."""
+    from cdc_stream_batch_etl_spark.operators.joinest import (
+        SIDE_A,
+        SIDE_B,
+        join_size_estimates,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rows = {r.method: r for r in join_size_estimates(spark, sf_dir).collect()}
+    assert set(rows) == {"exact", "hh_hybrid", "sample10", "uniform_ndv"}
+    a = events.filter(F.col("event_type") == SIDE_A).select("user_id")
+    b = events.filter(F.col("event_type") == SIDE_B).select(
+        F.col("user_id").alias("ub")
+    )
+    true_size = a.join(b, a.user_id == F.col("ub")).count()
+    assert rows["exact"].exact_size == true_size
+    assert rows["exact"].estimate == float(true_size)
+    assert rows["exact"].q_ratio == 1.0
+    for r in rows.values():
+        assert r.exact_size == true_size  # shared denominator on every row
+        assert r.estimate >= 0.0
+
+
+def test_join_hh_hybrid_no_worse_than_uniform(spark, sf_dir):
+    """The end-biased histogram exists to beat the uniform assumption
+    under skew: |log q_ratio| of hh_hybrid must not exceed uniform's
+    (equal only if the top-H keys carry no skew signal)."""
+    import math
+
+    from cdc_stream_batch_etl_spark.operators.joinest import join_size_estimates
+
+    rows = {r.method: r for r in join_size_estimates(spark, sf_dir).collect()}
+    err = lambda m: abs(math.log(rows[m].q_ratio))  # noqa: E731
+    assert err("hh_hybrid") <= err("uniform_ndv") + 1e-12
+
+
+# ------------------------------------------------------------- gopher rules
+
+
+def test_gopher_rules_conjunction_and_totals(spark, sf_dir):
+    """Row totals all equal the corpus size; the all_rules count is at
+    most the min of the per-rule counts; one rule (stopword_hits) is
+    re-derived brute-force."""
+    import re
+
+    from cdc_stream_batch_etl_spark.operators import joinest  # noqa: F401
+    from cdc_stream_batch_etl_spark.text.gopher import (
+        MIN_STOPWORDS,
+        gopher_rules_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = {r.rule: r for r in gopher_rules_report(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "word_count",
+        "mean_word_len",
+        "stopword_hits",
+        "max_word_ratio",
+        "all_rules",
+    }
+    for r in rows.values():
+        assert r.n_pass + r.n_fail == n
+        assert abs(r.pass_rate - r.n_pass / n) == 0.0
+    assert rows["all_rules"].n_pass <= min(
+        rows[k].n_pass for k in rows if k != "all_rules"
+    )
+    sw = re.compile(r"\b(the|a|of|to|and)\b")
+    direct = sum(
+        1
+        for (t,) in docs.select("text").collect()
+        if len(sw.findall(t)) >= MIN_STOPWORDS
+    )
+    assert rows["stopword_hits"].n_pass == direct
