@@ -354,6 +354,11 @@ HEADLINE: list[str] = [
     "prefix_filter_jaccard_pairs",
     "group_kfold_assignment",
     "rolling_distinct_users",
+    "ks_drift",
+    "join_size_estimates",
+    "gopher_rules_report",
+    "forecast_backtest_mae",
+    "link_prediction_jaccard",
 ]
 
 

@@ -68,6 +68,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "ks_drift",
     "join_size_estimates",
     "gopher_rules_report",
+    "forecast_backtest_mae",
+    "link_prediction_jaccard",
     # (c) staleness rotation: the full 46-query r6 cohort
     "bigram_lift",
     "bilateral_trade_volume",
@@ -352,6 +354,8 @@ def load_all() -> None:
     from .operators import ksdrift  # noqa: F401  ks_drift — exact-on-grid two-sample Kolmogorov-Smirnov per event type (new r12)
     from .operators import joinest  # noqa: F401  join_size_estimates — CBO join-cardinality estimator scorecard vs exact (new r12)
     from .text import gopher  # noqa: F401  gopher_rules_report — per-rule Gopher §A1.1 quality-gate pass rates (new r12)
+    from .operators import backtest  # noqa: F401  forecast_backtest_mae — naive/seasonal/MA7 backtest scorecard, integer-cents exact (new r12)
+    from .operators import linkpred  # noqa: F401  link_prediction_jaccard — common-neighbor link prediction, integer-scaled RA (new r12)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

@@ -278,3 +278,106 @@ def test_gopher_rules_conjunction_and_totals(spark, sf_dir):
         if len(sw.findall(t)) >= MIN_STOPWORDS
     )
     assert rows["stopword_hits"].n_pass == direct
+
+
+# ------------------------------------------------------------ forecast backtest
+
+
+def test_forecast_backtest_matches_python_replay(spark, sf_dir):
+    """All three forecasters' MAE/bias re-derived in plain Python from
+    the collected daily cents series; the eval set is shared (equal
+    n_days) so the MAEs are comparable."""
+    from cdc_stream_batch_etl_spark.operators.backtest import (
+        MIN_IDX,
+        SEASON,
+        forecast_backtest_mae,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = sorted(
+        (r.day, int(r.cents))
+        for r in orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    )
+    y = [c for _, c in daily]
+    ev = range(MIN_IDX - 1, len(y))  # 0-based: idx >= MIN_IDX
+    exp = {}
+    for method, err in (
+        ("naive", lambda t: y[t] - y[t - 1]),
+        ("seasonal_naive", lambda t: y[t] - y[t - SEASON]),
+        (
+            "moving_avg7",
+            lambda t: (SEASON * y[t] - sum(y[t - SEASON : t])) / SEASON,
+        ),
+    ):
+        errs = [err(t) for t in ev]
+        exp[method] = (
+            len(errs),
+            sum(abs(e) for e in errs) / (100 * len(errs)),
+            sum(errs) / (100 * len(errs)),
+        )
+    rows = {r.method: r for r in forecast_backtest_mae(spark, sf_dir).collect()}
+    assert set(rows) == set(exp)
+    n_days = {r.n_days for r in rows.values()}
+    assert len(n_days) == 1  # shared eval support
+    for m, (n, mae, bias) in exp.items():
+        assert rows[m].n_days == n
+        assert abs(rows[m].mae - mae) < 1e-9
+        assert abs(rows[m].bias - bias) < 1e-9
+
+
+# ------------------------------------------------------------- link prediction
+
+
+def test_link_prediction_brute_force(spark, sf_dir):
+    """Candidates re-derived from the materialized support-filtered
+    graph: exact common-neighbor counts, no candidate is an existing
+    edge, jaccard agrees with the degree arithmetic."""
+    from collections import defaultdict
+
+    from cdc_stream_batch_etl_spark.operators.basket import _baskets, _pairs_from
+    from cdc_stream_batch_etl_spark.operators.linkpred import (
+        MIN_COMMON,
+        RA_SCALE,
+        link_prediction_jaccard,
+    )
+
+    pairs = {
+        (r.part_a, r.part_b)
+        for r in _pairs_from(_baskets(spark, sf_dir))
+        .select("part_a", "part_b")
+        .collect()
+    }
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if v in adj[u]:
+                continue
+            common = adj[u] & adj[v]
+            if len(common) >= MIN_COMMON:
+                expected[(u, v)] = (
+                    len(common),
+                    len(common) / (len(adj[u]) + len(adj[v]) - len(common)),
+                    sum(RA_SCALE // len(adj[w]) for w in common),
+                )
+    got = {
+        (r.part_a, r.part_b): (r.common_neighbors, r.jaccard, r.ra_scaled)
+        for r in link_prediction_jaccard(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (cn, jac, ra) in expected.items():
+        assert got[k][0] == cn
+        assert abs(got[k][1] - jac) < 1e-12
+        assert got[k][2] == ra
+    for u, v in got:
+        assert (u, v) not in pairs and (v, u) not in pairs
