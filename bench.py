@@ -359,6 +359,9 @@ HEADLINE: list[str] = [
     "gopher_rules_report",
     "forecast_backtest_mae",
     "link_prediction_jaccard",
+    "mann_whitney_drift",
+    "auc_separation_report",
+    "ab_power_planner",
 ]
 
 

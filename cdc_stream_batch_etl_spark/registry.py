@@ -70,6 +70,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "gopher_rules_report",
     "forecast_backtest_mae",
     "link_prediction_jaccard",
+    "mann_whitney_drift",
+    "auc_separation_report",
+    "ab_power_planner",
     # (c) staleness rotation: the full 46-query r6 cohort
     "bigram_lift",
     "bilateral_trade_volume",
@@ -356,6 +359,9 @@ def load_all() -> None:
     from .text import gopher  # noqa: F401  gopher_rules_report — per-rule Gopher §A1.1 quality-gate pass rates (new r12)
     from .operators import backtest  # noqa: F401  forecast_backtest_mae — naive/seasonal/MA7 backtest scorecard, integer-cents exact (new r12)
     from .operators import linkpred  # noqa: F401  link_prediction_jaccard — common-neighbor link prediction, integer-scaled RA (new r12)
+    from .operators import mwu  # noqa: F401  mann_whitney_drift — tie-corrected rank-sum drift test on the cent grid (new r12)
+    from .operators import auc  # noqa: F401  auc_separation_report — exact midrank one-vs-rest AUC, blocked prefix sum (new r12)
+    from .operators import power  # noqa: F401  ab_power_planner — two-proportion sample-size planner over an MDE grid (new r12)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

@@ -94,7 +94,13 @@ PROBES = ["customer_segments", "product_insights", "minhash_lsh_pairs", "clean_c
           "wilson_quality_ci", "source_divergence_report",
           "label_propagation_communities", "time_series_cv_folds",
           "blocking_efficiency_report", "hll_distinct_by_type",
-          "k_core_decomposition", "repurchase_survival_km"]
+          "k_core_decomposition", "repurchase_survival_km",
+          # round 12
+          "prefix_filter_jaccard_pairs", "group_kfold_assignment",
+          "rolling_distinct_users", "ks_drift", "join_size_estimates",
+          "gopher_rules_report", "forecast_backtest_mae",
+          "link_prediction_jaccard", "mann_whitney_drift",
+          "auc_separation_report", "ab_power_planner"]
 #: Standing per-row annotations for rows whose base->x8 exponent is a
 #: KNOWN measured artifact, adjudicated in a "## " section below the
 #: table — re-applied on every regeneration so the table never silently
