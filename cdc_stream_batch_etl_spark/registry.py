@@ -73,6 +73,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "mann_whitney_drift",
     "auc_separation_report",
     "ab_power_planner",
+    "theil_sen_trend",
+    "spearman_corr_matrix",
+    "did_promo_effect",
     # (c) staleness rotation: the full 46-query r6 cohort
     "bigram_lift",
     "bilateral_trade_volume",
@@ -362,6 +365,9 @@ def load_all() -> None:
     from .operators import mwu  # noqa: F401  mann_whitney_drift — tie-corrected rank-sum drift test on the cent grid (new r12)
     from .operators import auc  # noqa: F401  auc_separation_report — exact midrank one-vs-rest AUC, blocked prefix sum (new r12)
     from .operators import power  # noqa: F401  ab_power_planner — two-proportion sample-size planner over an MDE grid (new r12)
+    from .operators import theilsen  # noqa: F401  theil_sen_trend — median-of-pairwise-slopes robust yearly revenue trend (new r12)
+    from .operators import spearman  # noqa: F401  spearman_corr_matrix — tie-corrected rank correlation from grouped joints (new r12)
+    from .operators import did  # noqa: F401  did_promo_effect — diff-in-differences PROMO revenue effect across the midpoint split (new r12)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
