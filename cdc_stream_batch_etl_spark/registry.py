@@ -76,6 +76,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "theil_sen_trend",
     "spearman_corr_matrix",
     "did_promo_effect",
+    "conformal_forecast_intervals",
+    "mutual_information_matrix",
+    "embedding_lof",
     # (c) staleness rotation: the full 46-query r6 cohort
     "bigram_lift",
     "bilateral_trade_volume",
@@ -368,6 +371,9 @@ def load_all() -> None:
     from .operators import theilsen  # noqa: F401  theil_sen_trend — median-of-pairwise-slopes robust yearly revenue trend (new r12)
     from .operators import spearman  # noqa: F401  spearman_corr_matrix — tie-corrected rank correlation from grouped joints (new r12)
     from .operators import did  # noqa: F401  did_promo_effect — diff-in-differences PROMO revenue effect across the midpoint split (new r12)
+    from .operators import conformal  # noqa: F401  conformal_forecast_intervals — split-conformal 90% band, exact order-statistic quantile (new r12)
+    from .operators import mutualinfo  # noqa: F401  mutual_information_matrix — MI/NMI per categorical pair, explicit-order ln folds (new r12)
+    from .similarity import lof  # noqa: F401  embedding_lof — Local Outlier Factor on a content-addressed sample (new r12)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
