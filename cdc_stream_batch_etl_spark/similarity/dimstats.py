@@ -8,13 +8,18 @@ ingest batch. Emits one row per dimension with count, exact min/max,
 the sign census, and the mean.
 
 Float parity: min/max compare exactly; the MEAN would normally be a
-cross-row float sum whose accumulation order differs per engine, so the
-sum goes through DECIMAL(28,9) (the functions/money.py rule, widened
-for 9-decimal components) — exact, order-free — and the single final
-division to double is IEEE-identical in both engines. A float's decimal
-expansion can never land on an exact half at the 9th decimal (that
-would need a 5^10 factor in a binary fraction), so the float→decimal
-rounding is also engine-independent.
+cross-row float sum whose accumulation order differs per engine, so
+each value is first snapped to the integer NANO grid in the DOUBLE
+domain — round(v * 1e9), one IEEE multiply plus one half-away-from-zero
+round, both bit-identical across engines — and the grid integers sum in
+decimal(38,0) (order-free, exact). The earlier CAST(v AS DECIMAL(28,9))
+formulation was NOT engine-independent: Spark's double→decimal goes
+through the shortest round-trip string (BigDecimal.valueOf) while
+DuckDB scales the exact binary expansion, and the two disagree when a
+float32's exact expansion sits just below a 9th-decimal .5 boundary
+that its shortest representation sits on (first observed on the sf1
+fresh-Gaussian embeddings, r12). The final divisions to double are
+IEEE-identical in both engines.
 
 Scale: posexplode is scan-local 1:dim fan-out; one shuffle keyed on the
 dimension index (cardinality = embedding dim, so give AQE a coalesce
@@ -37,7 +42,8 @@ WITH x AS (
 )
 SELECT dim,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS mean_v,
+       CAST(sum(CAST(round(v * 1e9) AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+         / count(*) AS mean_v,
        min(v) AS min_v,
        max(v) AS max_v,
        CAST(count(*) FILTER (WHERE v > 0.0) AS BIGINT) AS n_pos,
@@ -56,9 +62,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("pos") + 1).alias("dim"), "v")
     return x.groupBy("dim").agg(
         F.count("*").alias("n"),
-        (F.sum(F.col("v").cast("decimal(28,9)")).cast("double") / F.count("*")).alias(
-            "mean_v"
-        ),
+        (
+            F.sum(F.round(F.col("v") * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9
+            / F.count("*")
+        ).alias("mean_v"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
         F.count(F.when(F.col("v") > 0.0, 1)).alias("n_pos"),
