@@ -79,6 +79,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "conformal_forecast_intervals",
     "mutual_information_matrix",
     "embedding_lof",
+    "cusum_drift",
+    "caliper_matched_price_effect",
+    "lexical_concentration_report",
+    # CHANGED in round 12: mean_v moved to the double-domain nano grid
+    # (the sf1 parity fix) — re-green under the new plan
+    "embedding_dim_stats",
     # (c) staleness rotation: the full 46-query r6 cohort
     "bigram_lift",
     "bilateral_trade_volume",
@@ -374,6 +380,9 @@ def load_all() -> None:
     from .operators import conformal  # noqa: F401  conformal_forecast_intervals — split-conformal 90% band, exact order-statistic quantile (new r12)
     from .operators import mutualinfo  # noqa: F401  mutual_information_matrix — MI/NMI per categorical pair, explicit-order ln folds (new r12)
     from .similarity import lof  # noqa: F401  embedding_lof — Local Outlier Factor on a content-addressed sample (new r12)
+    from .operators import cusum  # noqa: F401  cusum_drift — two-sided integer CUSUM chart via the prefix-extremum identity (new r12)
+    from .operators import calipermatch  # noqa: F401  caliper_matched_price_effect — nearest-price matched ATT, sweep-line windows (new r12)
+    from .text import concentration  # noqa: F401  lexical_concentration_report — Simpson/Shannon/head-mass per source (new r12)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
