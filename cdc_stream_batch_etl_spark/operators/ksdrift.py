@@ -22,10 +22,11 @@ Scale: one events scan -> one (event_type, grid) hash agg with
 map-side partials (the frame is bounded by grid cardinality x types,
 NOT row count — the whole reason to quantize), then ONE window pass
 partitioned by event_type that produces both the running cumsum
-(ordered frame) and the per-type totals (unbounded frame — same
-partitioning, same sort, one shuffle, one WindowExec), and a
-|types|-row final agg. No totals-side rescan, no global sort, no
-per-row Python.
+(ordered frame) and the per-type totals (FULL-partition frame — the
+frame-class guard's one exemption: Spark's UnboundedWindowFunction-
+Frame evaluates it once per partition, O(n), unlike sliding-start
+suffix frames), and a |types|-row final agg. No totals-side rescan,
+no global sort, no per-row Python.
 """
 
 from __future__ import annotations
@@ -101,8 +102,11 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("g")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # per-type totals ride the SAME window partitioning/sort with an
-    # unbounded frame — one shuffle, one WindowExec, no totals rescan
+    # per-type totals ride the SAME window partitioning/sort on the
+    # FULL-partition frame — Spark's UnboundedWindowFunctionFrame
+    # computes it once per partition (O(n); the frame-class guard's one
+    # exemption — only sliding-start frames recompute per row), so this
+    # stays one shuffle, one WindowExec, no totals rescan
     t = (
         Window.partitionBy("event_type")
         .orderBy("g")

@@ -27,9 +27,11 @@ legs, so the doubles agree bit-for-bit.
 Scale: one events scan → one (event_type, grid) hash agg with map-side
 partials (frame bounded by grid cardinality × types, not row count),
 then ONE window pass partitioned by event_type producing the running
-cumsum and the per-type totals on the same partitioning/sort (the
-ks_drift plan shape — one shuffle, one WindowExec), and a |types|-row
-final agg. No per-row Python, no global sort.
+cumsum (the ks_drift plan shape — one shuffle, one WindowExec); the
+per-type totals (na, nb, tie correction) fold into the |types|-row
+final aggregation — no full-partition aggregate frame (the
+tests/test_plans.py frame-class guard). No per-row Python, no global
+sort.
 """
 
 from __future__ import annotations
@@ -123,32 +125,28 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("g")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # totals ride the SAME partitioning/sort with an unbounded frame —
-    # one shuffle, one WindowExec (the ks_drift plan shape)
-    tt = (
-        Window.partitionBy("event_type")
-        .orderBy("g")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    # totals (na, nb, tsum) fold into the SAME final aggregation as r2 —
+    # no second window frame at all (the repo bans any aggregate touching
+    # Window.unboundedFollowing, tests/test_plans.py frame-class guard;
+    # the full-partition totals are plain per-type sums anyway)
     cum = grid.select(
         "event_type",
         "ca",
         "t",
         (F.sum("t").over(w) - F.col("t")).alias("cumlt"),
-        F.sum("ca").over(tt).alias("na"),
-        F.sum(F.col("t") - F.col("ca")).over(tt).alias("nb"),
-        F.sum(
-            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
-        )
-        .over(tt)
-        .alias("tsum"),
     )
-    stats = cum.groupBy("event_type", "na", "nb").agg(
+    stats = cum.groupBy("event_type").agg(
         F.sum(
             F.col("ca").cast("decimal(38,0)")
             * (2 * F.col("cumlt") + F.col("t") + 1)
         ).alias("r2"),
-        F.max("tsum").cast("double").alias("tsum"),
+        F.sum("ca").alias("na"),
+        F.sum(F.col("t") - F.col("ca")).alias("nb"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("double")
+        .alias("tsum"),
     )
     n_early = F.col("na").cast("bigint")
     n_late = F.col("nb").cast("bigint")

@@ -264,36 +264,54 @@ def test_no_aggregate_rides_unbounded_following_frames():
     SQL strings run in DuckDB, whose window executor has no such
     asymmetry — and lead()/lag() don't hit the aggregate frame
     machinery). Comments and docstrings stating the rule are exempt via
-    tokenization."""
-    import io
+    tokenization.
+
+    Refinement (r12): the FULL-partition frame rowsBetween(
+    unboundedPreceding, unboundedFollowing) is EXEMPT — Spark's
+    UnboundedWindowFunctionFrame computes that aggregate once per
+    partition (O(n)); only frames whose START slides while the END is
+    unbounded hit the per-row-recompute UnboundedFollowingWindow-
+    FunctionFrame. The guard therefore bans `unboundedFollowing`
+    except where the same frame call also names `unboundedPreceding`
+    (adjacent within the rowsBetween/rangeBetween argument list)."""
     import pathlib
+    import re
     import tokenize
 
     pkg = pathlib.Path(__file__).resolve().parent.parent / (
         "cdc_stream_batch_etl_spark"
     )
+    # the one safe spelling: Between(Window.unboundedPreceding,
+    # Window.unboundedFollowing) — strip it, then any surviving token
+    # is an offender
+    safe = re.compile(
+        r"Between\(\s*\n?\s*Window\.unboundedPreceding\s*,"
+        r"\s*\n?\s*Window\.unboundedFollowing\s*\n?\s*\)"
+    )
     offenders = []
     for py in pkg.rglob("*.py"):
+        text = py.read_text()
+        stripped = safe.sub("Between(SAFE_FULL_FRAME)", text)
+        import io
+
         code_tokens = []
-        with open(py, "rb") as f:
-            for tok in tokenize.tokenize(f.readline):
-                if tok.type == tokenize.NAME:
-                    code_tokens.append((tok.string, tok.start[0]))
-                elif tok.type == tokenize.STRING:
-                    # F-strings/SQL built in code still matter when they
-                    # feed F.expr — but oracle strings (DuckDB side) are
-                    # fine. Only Spark's API constant is unambiguous:
-                    # window SQL text in F.expr is caught by the name
-                    # check below when spelled via the API; the one
-                    # F.expr window in pareto.py uses the SAFE reversed
-                    # frame, asserted by its own tests.
-                    pass
+        for tok in tokenize.generate_tokens(io.StringIO(stripped).readline):
+            if tok.type == tokenize.NAME:
+                code_tokens.append((tok.string, tok.start[0]))
+            # F-strings/SQL built in code still matter when they feed
+            # F.expr — but oracle strings (DuckDB side) are fine. Only
+            # Spark's API constant is unambiguous: window SQL text in
+            # F.expr is caught by the name check below when spelled via
+            # the API; the one F.expr window in pareto.py uses the SAFE
+            # reversed frame, asserted by its own tests.
         for name, line in code_tokens:
             if name == "unboundedFollowing":
                 offenders.append(f"{py.name}:{line}: Window.unboundedFollowing")
     assert not offenders, (
-        "UNBOUNDED FOLLOWING aggregate frames are banned "
-        "(reverse the ORDER BY instead):\n" + "\n".join(offenders)
+        "sliding-start UNBOUNDED FOLLOWING aggregate frames are banned "
+        "(reverse the ORDER BY instead; the full-partition frame "
+        "unboundedPreceding->unboundedFollowing is the one exemption):\n"
+        + "\n".join(offenders)
     )
 
 
