@@ -362,6 +362,15 @@ HEADLINE: list[str] = [
     "mann_whitney_drift",
     "auc_separation_report",
     "ab_power_planner",
+    "theil_sen_trend",
+    "spearman_corr_matrix",
+    "did_promo_effect",
+    "conformal_forecast_intervals",
+    "mutual_information_matrix",
+    "embedding_lof",
+    "cusum_drift",
+    "caliper_matched_price_effect",
+    "lexical_concentration_report",
 ]
 
 

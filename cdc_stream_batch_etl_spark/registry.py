@@ -97,7 +97,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_ledger",
     "dedup_survivor_weights",
     "edit_distance_pairs",
-    "embedding_dim_stats",
+    # (embedding_dim_stats was in this r6 cohort; it moved UP into the
+    # changed-this-round block — the list must stay duplicate-free so
+    # the window prefix equals the literal list, test_registry_window)
     "event_transitions",
     "forecast_revenue_change",
     "fulfillment_lag",
