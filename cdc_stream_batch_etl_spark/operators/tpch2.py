@@ -99,11 +99,18 @@ WITH unit AS (
   SELECT l_partkey, l_suppkey,
          l_extendedprice / l_quantity AS unit_cost
   FROM lineitem
+), mc AS (
+  SELECT l_partkey, min(unit_cost) AS unit_cost FROM unit GROUP BY 1
 ), best AS (
-  SELECT l_partkey,
-         (min(struct_pack(c := unit_cost, sk := l_suppkey))).c AS unit_cost,
-         (min(struct_pack(c := unit_cost, sk := l_suppkey))).sk AS s_suppkey
-  FROM unit GROUP BY l_partkey
+  -- two scalar aggs instead of min(struct_pack(...)): identical argmin
+  -- semantics (min cost, then min suppkey among the cost ties — the
+  -- tie direction struct-min encodes), but DuckDB's struct-min grew
+  -- >125 GB resident at sf1 and OOM-killed two sweep runs (r12); the
+  -- scalar form runs in hash-agg memory
+  SELECT u.l_partkey, m.unit_cost, min(u.l_suppkey) AS s_suppkey
+  FROM unit u JOIN mc m
+    ON u.l_partkey = m.l_partkey AND u.unit_cost = m.unit_cost
+  GROUP BY u.l_partkey, m.unit_cost
 )
 SELECT p.p_partkey, p.p_name, b.unit_cost, b.s_suppkey, s.s_name, n.n_name
 FROM best b

@@ -82,6 +82,14 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "cusum_drift",
     "caliper_matched_price_effect",
     "lexical_concentration_report",
+    "skew_salt_plan",
+    "shewhart_imr_chart",
+    "simpsons_paradox_audit",
+    "quality_pr_curve",
+    "fellegi_sunter_weights",
+    "time_series_quantile_trend",
+    "jl_projection_distortion",
+    "semantic_silhouette",
     # CHANGED in round 12: mean_v moved to the double-domain nano grid
     # (the sf1 parity fix) — re-green under the new plan
     "embedding_dim_stats",
@@ -385,6 +393,14 @@ def load_all() -> None:
     from .operators import cusum  # noqa: F401  cusum_drift — two-sided integer CUSUM chart via the prefix-extremum identity (new r12)
     from .operators import calipermatch  # noqa: F401  caliper_matched_price_effect — nearest-price matched ATT, sweep-line windows (new r12)
     from .text import concentration  # noqa: F401  lexical_concentration_report — Simpson/Shannon/head-mass per source (new r12)
+    from .operators import saltplan  # noqa: F401  skew_salt_plan — per-key integer salt factors for hot reducers (new r12)
+    from .operators import shewhart  # noqa: F401  shewhart_imr_chart — I-MR 3-sigma chart, division-free violation test (new r12)
+    from .operators import simpson  # noqa: F401  simpsons_paradox_audit — stratum-vs-pooled association sign reversal (new r12)
+    from .text import prcurve  # noqa: F401  quality_pr_curve — model-gate-vs-rule-gate PR curve over the logit grid (new r12)
+    from .dedup import fellegi  # noqa: F401  fellegi_sunter_weights — per-field m/u linkage weights from labeled pair sets (new r12)
+    from .operators import qreg  # noqa: F401  time_series_quantile_trend — integer pinball-loss grid quantile regression (new r12)
+    from .similarity import jl  # noqa: F401  jl_projection_distortion — signed JL projection distortion over md5 pairs (new r12)
+    from .similarity import silhouette  # noqa: F401  semantic_silhouette — per-cell simplified silhouette of the coarse quantizer (new r12)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.

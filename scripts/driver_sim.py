@@ -57,6 +57,14 @@ def main() -> int:
     print(f"{len(qs)} queries, {len(osql)} oracles")
 
     con = duckdb.connect()
+    # Spill, don't die: at sf1 a single memory-hungry oracle (r12 case:
+    # min_cost_supplier's min(struct_pack) argmin, >125 GB resident)
+    # otherwise OOM-kills the WHOLE sweep — two sf1 sweeps were lost to
+    # the kernel OOM killer before this cap was added.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'"
+    )
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 

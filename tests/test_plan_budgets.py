@@ -39,6 +39,11 @@ OVERRIDES = {
     # the RUNTIME reads documents once (persist measured faster at
     # sf0.1 AND collapses 6 table scans to 1 at 100 TB)
     "prefix_filter_jaccard_pairs": (12, 9),
+    # lineage quirk again: the persisted calendar-bounded daily frame is
+    # referenced by idx/grid/resid/quant, so the counter sees 8 lineage
+    # scans while the RUNTIME reads orders ONCE into the ~2.4k-row cache
+    # (without the persist the plan really did scan orders 4x)
+    "time_series_quantile_trend": (8, 15),
 }
 
 
