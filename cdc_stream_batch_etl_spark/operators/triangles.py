@@ -47,27 +47,35 @@ from .basket import MIN_SUPPORT, _baskets, _pairs_from
 from .pagerank import _PAIRS_SQL
 
 _TRIANGLE_ORACLE = f"""
-WITH pairs AS ({_PAIRS_SQL}),
-deg AS (
+WITH pairs AS MATERIALIZED ({_PAIRS_SQL}),
+deg AS MATERIALIZED (
   SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
     SELECT part_a AS node FROM pairs
     UNION ALL
     SELECT part_b AS node FROM pairs
   ) GROUP BY node
 ),
-oriented AS (
+oriented AS MATERIALIZED (
   SELECT CASE WHEN (da.deg, p.part_a) < (db.deg, p.part_b)
               THEN p.part_a ELSE p.part_b END AS src,
          CASE WHEN (da.deg, p.part_a) < (db.deg, p.part_b)
-              THEN p.part_b ELSE p.part_a END AS dst
+              THEN p.part_b ELSE p.part_a END AS dst,
+         CASE WHEN (da.deg, p.part_a) < (db.deg, p.part_b)
+              THEN db.deg ELSE da.deg END AS dst_deg
   FROM pairs p
   JOIN deg da ON da.node = p.part_a
   JOIN deg db ON db.node = p.part_b
 ),
-tri AS (
+tri AS MATERIALIZED (
+  -- wedge endpoints ordered by RANK (deg, id), not by id: the closing
+  -- edge is rank-oriented, so an id-ordered wedge whose higher-id leg
+  -- has the LOWER rank would look for the closure in the direction the
+  -- orientation never stores and silently drop the triangle (the r12
+  -- brute-force audit found 33 of 61 sf0.01 triangles missing)
   SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
   FROM oriented w1
-  JOIN oriented w2 ON w2.src = w1.src AND w2.dst > w1.dst
+  JOIN oriented w2 ON w2.src = w1.src
+   AND (w1.dst_deg, w1.dst) < (w2.dst_deg, w2.dst)
   JOIN oriented e ON e.src = w1.dst AND e.dst = w2.dst
 ),
 members AS (
@@ -103,15 +111,26 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
             F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
         )
         .persist()
     )
-    w1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    w2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    w1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dst_deg").alias("dv")
+    )
+    w2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("dst_deg").alias("dw")
+    )
     closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = (
         w1.join(w2, "u")
-        .filter(F.col("w") > F.col("v"))  # each wedge once: v < w
+        # each wedge once, ordered by RANK (deg, id) — the closing edge
+        # is rank-oriented, so an id-ordered wedge can face the wrong
+        # direction and drop the triangle (r12 brute-force audit)
+        .filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
         .join(closing, ["v", "w"])  # closure edge exists → triangle
     )
     members = (

@@ -61,6 +61,10 @@ ROWS_ONLY: dict[str, str] = {
 WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) changed in round 12 — the r11 hash-fail, must re-green
     "time_series_cv_folds",
+    # CHANGED in round 12: the rank-vs-id wedge-orientation fix (both
+    # legs — an INDEPENDENT brute-force pytest now guards it, since a
+    # shared-bug oracle can never catch its own blind spot)
+    "copurchase_triangles",
     # (b) NEW in round 12 — first driver rows
     "prefix_filter_jaccard_pairs",
     "group_kfold_assignment",
@@ -90,6 +94,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "time_series_quantile_trend",
     "jl_projection_distortion",
     "semantic_silhouette",
+    "k_truss_decomposition",
+    "bootstrap_uplift_ci",
     # CHANGED in round 12: mean_v moved to the double-domain nano grid
     # (the sf1 parity fix) — re-green under the new plan
     "embedding_dim_stats",
@@ -401,6 +407,8 @@ def load_all() -> None:
     from .operators import qreg  # noqa: F401  time_series_quantile_trend — integer pinball-loss grid quantile regression (new r12)
     from .similarity import jl  # noqa: F401  jl_projection_distortion — signed JL projection distortion over md5 pairs (new r12)
     from .similarity import silhouette  # noqa: F401  semantic_silhouette — per-cell simplified silhouette of the coarse quantizer (new r12)
+    from .operators import ktruss  # noqa: F401  k_truss_decomposition — bounded edge-support truss peel over the co-purchase graph (new r12)
+    from .operators import bootuplift  # noqa: F401  bootstrap_uplift_ci — Poisson-bootstrap arm-difference distribution (new r12)
 
     # Reorder to the explicit driver window (see WINDOW_PRIORITY). Plain
     # dict re-insertion — idempotent across repeated load_all() calls.
