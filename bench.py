@@ -371,6 +371,16 @@ HEADLINE: list[str] = [
     "cusum_drift",
     "caliper_matched_price_effect",
     "lexical_concentration_report",
+    "skew_salt_plan",
+    "shewhart_imr_chart",
+    "simpsons_paradox_audit",
+    "quality_pr_curve",
+    "fellegi_sunter_weights",
+    "time_series_quantile_trend",
+    "jl_projection_distortion",
+    "semantic_silhouette",
+    "k_truss_decomposition",
+    "bootstrap_uplift_ci",
 ]
 
 

@@ -198,10 +198,17 @@ def load_all() -> None:
               (multimodal_frame_sample real-AVI rewrite, kmv_set_overlap
               m_full rule), sentinels, then the r3/r4-cohort rotation.
               50/50 green.
-      r10 (now) — chunk_dedup_ledger first (new), the four winnow/cdchunk
+      r10 — chunk_dedup_ledger first (new), the four winnow/cdchunk
               queries whose plan+oracle changed (segment-local winnowing
               positions; FastCDC chunk bounds), sentinels, then the full
               r5 cohort (the oldest rows after r9's rotation).
+      r11 — the 11 round-11 operators first, the two reorder-tolerant
+              streaming rewrites' batch twins, then the full r5-stale
+              parity cohort. 49/50 (time_series_cv_folds decimal-export
+              fail — fixed r12 with a registry-wide no-Decimal guard).
+      r12 (now) — tscv re-green + copurchase_triangles (the rank-vs-id
+              wedge-orientation fix — CHANGED both legs) lead, then the
+              ~30 new r12 operators, then the r6-stale rotation cohort.
     """
     # --- NEW in round 6: first driver rows this round (positions 1-8) ---
     from .operators import tpch2  # noqa: F401  promo_revenue_share, min_cost_supplier, customer_reach
