@@ -59,29 +59,102 @@ WHERE {_COS} >= {COSINE_THRESHOLD}
 """
 
 
+#: A-side sub-block rows per matmul block — bounds the accumulator at
+#: BLOCK×N doubles per task (256×N: ~40 MB even at N=20k), independent of
+#: the Arrow batch size.
+_PAIR_BLOCK = 256
+
+
+def _fold_dot_blocks(A, B):
+    """Pairwise dot products with EXACTLY Spark's fold arithmetic.
+
+    Spark's ``aggregate(zip_with(a, b, (x,y) -> x*y), 0.0D, (acc,v) -> acc+v)``
+    is a sequential left fold in index order: acc = ((a0*b0) + a1*b1) + ….
+    ``acc += A[:,k] * B[:,k]`` over k replicates that ordering per pair with
+    plain IEEE-double multiply/add ufuncs (no FMA, no pairwise-tree
+    summation — numpy reductions like ``dot``/``einsum``/``sum`` would NOT
+    be bit-stable against the fold, which is why they are not used here).
+    """
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for k in range(A.shape[1]):
+        acc += A[:, k, None] * B[None, :, k]
+    return acc
+
+
 @register("embed_near_dup_pairs", oracle=_EXACT_ORACLE)
 def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine-threshold pairs (quadratic correctness baseline).
 
-    Norms are precomputed per VECTOR (O(N) higher-order-function work)
-    so the O(N²) pair stage pays one dot product, not three — HOF
-    expressions are interpreted per element and dominate this plan."""
+    Optimization-round shape (guide §4.2/§8): the O(N²) pair stage used to
+    be a BroadcastNestedLoopJoin evaluating one interpreted higher-order
+    ``aggregate(zip_with(...))`` fold PER PAIR — 20.6 s at sf0.1 (N=2000:
+    2M pairs × 64 interpreted lambda steps), the most expensive query in
+    the bench. Now a zero-shuffle mapInPandas: only ``vec_id`` crosses the
+    Python boundary (guide §4.1 — ship the proxy, not the payload); each
+    task side-loads the embedding matrix once from the parquet input
+    (guide §8 "co-locate instead of join" — the corpus is the
+    broadcast-sized side, O(N·dim) bytes) and computes its block of the
+    pair matrix in numpy with the fold-exact arithmetic of
+    ``_fold_dot_blocks`` — bit-identical to the old plan, so the oracle
+    hash is unchanged (verified old-vs-new exact-equal, and vs the oracle
+    via driver_sim). The HALF_UP rounding stays in Spark (``F.round``;
+    Python ``round`` is banker's). Scale posture unchanged: this is the
+    DECLARED quadratic recall yardstick for ``embed_near_dup_lsh``; the
+    rewrite changes the constant (interpreted lambda → native vectorized),
+    not the asymptote."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("cos_sim", 6).alias("cos_sim_r"),
+    path = f"{sf_dir}/embeddings.parquet"
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def _pairs(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        # flat values buffer → (N, dim) without a per-row Python list pass
+        # (fresh-read list array: contiguous offsets, no nulls)
+        col = t.column("embedding").combine_chunks()
+        M = (
+            col.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(col), -1)
         )
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        # per-vector norms via the same fold (vectorized over rows)
+        acc = np.zeros(M.shape[0])
+        for k in range(M.shape[1]):
+            acc += M[:, k] * M[:, k]
+        nrm = np.sqrt(acc)
+        for pdf in batches:
+            rows = np.searchsorted(ids, pdf["vec_id"].to_numpy())
+            for s in range(0, len(rows), _PAIR_BLOCK):
+                blk = rows[s : s + _PAIR_BLOCK]
+                cos = _fold_dot_blocks(M[blk], M) / (
+                    nrm[blk][:, None] * nrm[None, :]
+                )
+                ai, bj = np.nonzero(
+                    (cos >= COSINE_THRESHOLD) & (ids[blk][:, None] < ids[None, :])
+                )
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": ids[blk][ai],
+                            "vec_b": ids[bj],
+                            "cos_sim": cos[ai, bj],
+                        }
+                    )
+
+    pairs = (
+        emb.select("vec_id")
+        .repartition(n_parts)
+        .mapInPandas(_pairs, "vec_a bigint, vec_b bigint, cos_sim double")
     )
+    return pairs.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
 _PLANE_ARRS = ["[" + ",".join(f"{v}" for v in row) + "]" for row in _hyperplanes()]
