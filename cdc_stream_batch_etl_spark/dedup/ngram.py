@@ -45,8 +45,18 @@ WHERE CAST(i.shared AS DOUBLE) / (ca.n + cb.n - i.shared) >= {JACCARD_THRESHOLD}
 
 @register("ngram_jaccard_pairs", oracle=_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.parallelism import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles_col()).alias("shingle"))
+    # r12 optimization (guide §5 caching, §2.5): the shingle table feeds
+    # BOTH sides of the self-join and the per-doc counts — unpersisted,
+    # the interpreted zip_with shingling ran three times; and on the
+    # single-row-group corpus file it ran inside one scan task (the
+    # minhash/spans fan_out precedent). One persisted, fanned-out
+    # shingling pass now feeds all three references; output unchanged.
+    # Caller clears via clearCache. (lsh_recall_eval inherits both wins
+    # through its truth leg.)
+    sh = fan_out(docs).select("doc_id", F.explode(shingles_col()).alias("shingle")).persist()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")

@@ -107,7 +107,18 @@ def bootstrap_revenue_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sampled, boot_mean). spread(boot_mean) is the sampling
     uncertainty of the corpus mean — the single-scan alternative to R
     full resamples."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    from ..functions.parallelism import fan_out
+
+    # r12 optimization (guide §2.5 input skew / §1.2 step 1): orders is a
+    # single-row-group file, so the explode + 32 md5 draws per order —
+    # ~4.8M digests at sf0.1, the whole cost of this plan — ran inside the
+    # ONE scan task on one core (9.5 s solo). fan_out round-robins the
+    # 150k input rows across the cluster first (no-op on wide scans), so
+    # the hashing parallelizes; per-row draws are key-independent, output
+    # unchanged.
+    orders = fan_out(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
     expanded = orders.select(
         "o_orderkey",
         "o_totalprice",

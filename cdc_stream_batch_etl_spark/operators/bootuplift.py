@@ -76,8 +76,15 @@ ORDER BY replicate
 def bootstrap_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N_REPLICATES rows: per-replicate Poisson-bootstrap arm means and
     their difference — the distribution any uplift CI reads off."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    from ..functions.parallelism import fan_out
+
+    # r12 optimization (guide §2.5 / §5): fan_out parallelizes the
+    # md5-draw stage off the single-row-group scan task (the bootstrap.py
+    # fix — ~4.8M digests were single-threaded).
+    orders = fan_out(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
     )
     expanded = orders.select(
         "o_orderkey",
@@ -93,13 +100,22 @@ def bootstrap_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = hashed.select(
         "replicate", "arm", "o_totalprice", F.expr(_w_cases("h")).alias("w")
     )
-    per_arm = weighted.groupBy("replicate", "arm").agg(
-        F.sum("w").cast("bigint").alias("n"),
-        (
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * F.col("w"))
-            .cast("double")
-            / F.sum("w")
-        ).alias("mean_value"),
+    # r12 optimization (guide §5 caching): the a/b self-join referenced
+    # per_arm twice — without a persist the ENTIRE expand+hash pipeline
+    # (the expensive part) ran twice per query. per_arm is 2×N_REPLICATES
+    # tiny rows; persist it so the md5 pass runs once. Caller clears via
+    # clearCache.
+    per_arm = (
+        weighted.groupBy("replicate", "arm")
+        .agg(
+            F.sum("w").cast("bigint").alias("n"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)") * F.col("w"))
+                .cast("double")
+                / F.sum("w")
+            ).alias("mean_value"),
+        )
+        .persist()
     )
     a, b = per_arm.alias("a"), per_arm.alias("b")
     return (

@@ -89,14 +89,31 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _directed(_edges(spark, sf_dir)).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
-    rounds = [e]
-    for _ in range(PEEL_ROUNDS):
-        keep = (
-            e.groupBy("u")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= CORE_K)
-            .select(F.col("u").alias("node"))
+    # r12 optimization (guide §2.4): each round's degree table now serves
+    # BOTH the peel predicate and that round's ledger row — the old shape
+    # paid an extra full edge pass per round for a two-stage
+    # count_distinct summary. nodes_remaining = number of degree groups
+    # and edges_remaining = sum(deg)/2 = count(*)/2 are the same exact
+    # integers (count(*) of the edge frame IS sum of its per-u degrees),
+    # so the output is bit-identical and the oracle is unchanged. Only
+    # the final round still needs its own summary pass (no degree agg
+    # follows it). The small per-round degree frames are persist()ed
+    # (consumed twice: ledger + filter); caller clears via clearCache.
+    summaries = []
+    for r in range(PEEL_ROUNDS):
+        degs = e.groupBy("u").agg(F.count("*").alias("deg")).persist()
+        summaries.append(
+            degs.agg(
+                F.lit(r).cast("bigint").alias("round"),
+                F.count("*").cast("bigint").alias("nodes_remaining"),
+                # coalesce: an emptied round has sum(deg)=NULL where the
+                # old count(*) was 0 — the sf0.1 ledger hits this case
+                (F.coalesce(F.sum("deg"), F.lit(0)) / 2)
+                .cast("bigint")
+                .alias("edges_remaining"),
+            )
         )
+        keep = degs.filter(F.col("deg") >= CORE_K).select(F.col("u").alias("node"))
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
@@ -105,15 +122,13 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             # semi-joins — break the lineage so it computes once
             .localCheckpoint(eager=False)
         )
-        rounds.append(e)
-    summaries = [
-        r.agg(
-            F.lit(i).cast("bigint").alias("round"),
+    summaries.append(
+        e.agg(
+            F.lit(PEEL_ROUNDS).cast("bigint").alias("round"),
             F.count_distinct("u").cast("bigint").alias("nodes_remaining"),
             (F.count("*") / 2).cast("bigint").alias("edges_remaining"),
         )
-        for i, r in enumerate(rounds)
-    ]
+    )
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)

@@ -112,23 +112,28 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rank = nodes.withColumn("rank", F.lit(SCALE).cast("bigint"))
     for _ in range(N_ITER):
-        contrib = (
-            edges.join(rank.withColumnRenamed("node", "src"), "src")
-            .join(degs.withColumnRenamed("node", "src"), "src")
-            # `div` = exact integral division on bigints; a double `/` +
-            # cast would silently lose bits once mass crosses 2^53
-            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+        # r12 optimization (guide §2.4/§2.3): the per-source contribution
+        # ``rank div deg`` depends only on src, so compute it ONCE per node
+        # on the node-sized frame (`div` = exact integral division on
+        # bigints; a double `/` + cast would silently lose bits once mass
+        # crosses 2^53) and attach it to edges with a single edge-sized
+        # join — the old shape joined the edge list twice (rank, then
+        # degs). The nodes-LEFT-join that re-attached silent nodes was
+        # vacuous on this graph and is gone: edges are symmetric, so every
+        # node in `nodes` (distinct src) is also some edge's dst and
+        # receives ≥1 contribution — mass is never NULL and the inner
+        # groupBy covers exactly the node set (same rows, bit-identical
+        # integer arithmetic; oracle unchanged).
+        per_src = rank.join(degs, "node").select(
+            F.col("node").alias("src"), F.expr("rank div deg").alias("c")
         )
         rank = (
-            nodes.join(
-                contrib.groupBy("node").agg(F.sum("c").alias("mass")), "node", "left"
-            )
+            edges.join(per_src, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("mass"))
             .select(
                 "node",
-                (
-                    F.lit(_BASE)
-                    + F.expr("(coalesce(mass, 0L) * 17L) div 20L")
-                ).alias("rank"),
+                (F.lit(_BASE) + F.expr("(mass * 17L) div 20L")).alias("rank"),
             )
         )
     return rank.select(

@@ -129,15 +129,25 @@ def _rank_map(joint: DataFrame, key: str) -> DataFrame:
 
 def _pair_row(spark: SparkSession, sf_dir: str, x: str, y: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r12 optimization (guide §5 caching, §2.4): the grouped joint is
+    # referenced three ways (both rank maps and the sxy join) and each
+    # rank map twice more (marginal sums + broadcast back into sxy) —
+    # unpersisted, every reference re-ran the lineitem scan + hash agg:
+    # the plan held 5 fact-table scans PER PAIR (20 for the matrix,
+    # 15.8 s at sf0.1). Persisting the distinct-combo joint and the two
+    # tiny rank maps leaves ONE lineitem scan per pair. Pure reuse — no
+    # arithmetic changes, output bit-identical. Caller clears via
+    # clearCache (pagerank/kcore contract).
     joint = (
         li.select(
             F.expr(_VARS[x]).alias("gx"), F.expr(_VARS[y]).alias("gy")
         )
         .groupBy("gx", "gy")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
-    mx = _rank_map(joint, "gx")
-    my = _rank_map(joint, "gy")
+    mx = _rank_map(joint, "gx").persist()
+    my = _rank_map(joint, "gy").persist()
     margs = mx.agg(
         F.sum("t").alias("n"),
         F.sum(F.col("t").cast(_DEC) * F.col("r2")).alias("sx"),
