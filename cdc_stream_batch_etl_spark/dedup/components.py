@@ -118,11 +118,19 @@ def star_contraction(edges: DataFrame, max_iter: int = MAX_ITER):
     cur = _canonical(edges).localCheckpoint()
     for rounds in range(1, max_iter + 1):
         nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint()
-        # distinct sets: unchanged iff same count and no new edges
-        if nxt.count() == cur.count() and nxt.subtract(cur).count() == 0:
-            cur = nxt
-            break
+        # distinct sets are equal iff their full outer join has no
+        # one-sided row — ONE action per round where the former
+        # (count, subtract().count()) spelling paid two jobs and an
+        # extra shuffle on every iteration (r12)
+        diff = (
+            nxt.withColumn("_n", F.lit(1))
+            .join(cur.withColumn("_c", F.lit(1)), ["src", "dst"], "full_outer")
+            .filter(F.col("_n").isNull() | F.col("_c").isNull())
+            .count()
+        )
         cur = nxt
+        if diff == 0:
+            break
     return cur, rounds
 
 

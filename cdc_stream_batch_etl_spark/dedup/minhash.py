@@ -182,10 +182,28 @@ def lsh_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     bucket guard; the oracle applies the identical cap), so per-bucket
     work is bounded at C(max_bucket, 2) pairs regardless of corpus shape.
     """
-    with_sh = _with_hashed_shingles(docs)
+    # EAGER lineage break: the shingle+hash frame feeds THREE consumers
+    # — the band table and BOTH sides of the verification join — and
+    # shingle hashing is the CPU-dominant step of the whole plan;
+    # uncached it re-ran per consumer (r12: 3 evaluations -> 1). Eager
+    # (not lazy persist) because a composed consumer (lsh_recall_eval's
+    # full-outer join) runs this subtree's stages CONCURRENTLY from two
+    # legs — a lazy cache then race-fills from both and the measured
+    # tail is bimodal (3.9 s vs 41 s); materializing before the join
+    # starts removes the race.
+    with_sh = _with_hashed_shingles(docs).select(
+        "doc_id", "shingles", "hshingles"
+    ).localCheckpoint(eager=True)
 
+    sigs = with_sh.select("doc_id", *_sig_exprs_spark())
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[_band_hash_spark(b) for b in range(N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
     buckets = (
-        _bands(docs)
+        bands
         .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))

@@ -56,7 +56,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling pass now feeds all three references; output unchanged.
     # Caller clears via clearCache. (lsh_recall_eval inherits both wins
     # through its truth leg.)
-    sh = fan_out(docs).select("doc_id", F.explode(shingles_col()).alias("shingle")).persist()
+    # eager, not lazy persist: both self-join sides race-fill a lazy
+    # cache from concurrent stages (the minhash with_sh lesson, r12)
+    sh = (
+        fan_out(docs)
+        .select("doc_id", F.explode(shingles_col()).alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")

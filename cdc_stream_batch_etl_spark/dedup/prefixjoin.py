@@ -82,6 +82,12 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ τ over distinct 3-word shingles, found via the prefix-
     filtered candidate join instead of the full shingle self-join."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE r12: fan_out(docs) was tried here and REVERTED — A/B-measured
+    # 6.4 s -> 28+ s warm: repartitioning below the persisted frame
+    # degraded the downstream join planning (docfreq/self-join lost
+    # their broadcast) and cost far more than the single-task cache
+    # fill it saved. The persist itself (one shingling pass for 4
+    # consumers) is the win that stays.
     toks = (
         docs.select("doc_id", shingles_col().alias("toks"))
         .withColumn("n", F.size("toks"))

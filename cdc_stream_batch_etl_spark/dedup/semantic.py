@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 from ..similarity.linalg import adaptive_stride_sql, centroids
 from ..similarity.linalg import dot as _dot
@@ -123,8 +124,10 @@ def semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     cent = centroids(e)
+    # fan_out: the N x K interpreted dot folds of the assignment
+    # otherwise run inside the one scan task of a single-row-group input
     assign = (
-        e.crossJoin(F.broadcast(cent))
+        fan_out(e).crossJoin(F.broadcast(cent))
         .withColumn("d", _dot("emb", "cemb"))
         .groupBy("vec_id", "emb")
         .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))
@@ -150,8 +153,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    # fan_out: the N x K interpreted dot folds of the assignment
+    # otherwise run inside the one scan task of a single-row-group input
     assign = (
-        e.crossJoin(F.broadcast(cent))
+        fan_out(e).crossJoin(F.broadcast(cent))
         .withColumn("d", _dot("emb", "cemb"))
         .groupBy("vec_id", "emb", "nrm")
         .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))

@@ -58,6 +58,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     table do the identical arithmetic map-side (the oracle keeps the
     explode spelling, which is fine at oracle scale)."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE r12: fan_out(docs) was tried here and REVERTED — A/B-measured
+    # 1.65 s -> 2.58 s warm: the md5 hashing runs AFTER the (doc, token)
+    # shuffle (already cluster-wide), so the repartition only added a
+    # full-text shuffle in front of a cheap tokenize.
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")

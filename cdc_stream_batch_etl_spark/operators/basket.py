@@ -147,8 +147,11 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair table itself is never re-shuffled on a non-uniform key.
     Determinism: confidence/lift are chains of single IEEE divisions of
     exact integers, identical association order in both engines."""
-    baskets = _baskets(spark, sf_dir)
-    pairs = _pairs_from(baskets)
+    # persist both shared frames (r12): baskets feeds pairs + items +
+    # total and pairs feeds both rule orientations — uncached, the
+    # lineitem scan + orderkey shuffle re-ran once per reference (4x)
+    baskets = _baskets(spark, sf_dir).persist()
+    pairs = _pairs_from(baskets).persist()
     directed = pairs.select(
         F.col("part_a").alias("antecedent"),
         F.col("part_b").alias("consequent"),

@@ -145,7 +145,8 @@ def copurchase_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = _directed(edges).select(
         F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
-    deg = _degrees(edges)
+    # persist: deg feeds both sides-join legs and meta (3 consumers)
+    deg = _degrees(edges).persist()
     sides = (
         directed.join(
             deg.select(F.col("node").alias("u"), F.col("degree").alias("dj")), "u"

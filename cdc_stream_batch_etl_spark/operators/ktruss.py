@@ -124,6 +124,8 @@ def _support(e: DataFrame) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        # both orientation legs (da, db) consume deg — compute it once
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_b"))
@@ -161,6 +163,9 @@ def _support(e: DataFrame) -> DataFrame:
         )
         .join(closing, ["tv", "tw"])
         .select(F.col("a").alias("tu"), "tv", "tw")
+        # lineage break (r12): the 3-leg member union consumes tri once
+        # per leg — without this the wedge join itself ran 3x per round
+        .localCheckpoint(eager=False)
     )
     members = (
         tri.select(

@@ -116,19 +116,22 @@ def time_series_quantile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderdate", "o_totalprice"
     )
-    # persist the calendar-bounded daily frame: idx/grid/resid/quant all
-    # re-derive it, and without the lineage break each reference is a
-    # fresh orders scan — 4 scans of the fact table for a ~2.4k-row
-    # frame (the pagerank/kcore persisted-frame convention).
-    daily = (
-        orders.groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-            .cast("bigint")
-            .alias("x")
-        )
-        .persist()
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("x")
     )
+    # Single linear pipeline (r12): the former q -> grid -> combos ->
+    # resid chain was three nested broadcast exchanges (each a separate
+    # blocking job) and the quantile re-entered via a fourth broadcast
+    # join that re-evaluated resid. Every per-series scalar (n, xmax,
+    # xmin — hence step) is already ON each idx row via the wall window,
+    # so the (tau, j) grid is two explodes (no joins), and the tau-
+    # quantile re-attaches via a second window over the SAME (tau,
+    # slope) partitioning — one exchange serves row_number, the
+    # quantile pick and the pinball groupBy. Identical integer
+    # arithmetic throughout; no persist needed (every frame has exactly
+    # one consumer).
     wd = Window.orderBy("day")
     wall = Window.partitionBy()
     idx = daily.select(
@@ -138,20 +141,30 @@ def time_series_quantile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").over(wall).alias("xmax"),
         F.min("x").over(wall).alias("xmin"),
     )
-    q = idx.agg(
-        F.greatest(
-            F.lit(1).cast("bigint"),
-            F.expr(f"(max(xmax) - max(xmin)) div (max(n) * {G})"),
-        ).alias("step"),
-        F.max("n").alias("n"),
+    step = F.greatest(
+        F.lit(1).cast("bigint"), F.expr(f"(xmax - xmin) div (n * {G})")
     )
-    js = spark.range(-G, G + 1).select(F.col("id").alias("j"))
-    grid = js.join(F.broadcast(q)).select(
-        (F.col("j") * F.col("step")).alias("slope"), "step", "n"
+    combos = (
+        idx.select("t", "x", "n", step.alias("step"))
+        .withColumn("tau", F.explode(F.array(*[F.lit(t) for t in TAUS])))
+        .withColumn(
+            "j",
+            F.explode(
+                F.sequence(
+                    F.lit(-G).cast("bigint"), F.lit(G).cast("bigint")
+                )
+            ),
+        )
+        .select(
+            "tau",
+            (F.col("j") * F.col("step")).alias("slope"),
+            "step",
+            "n",
+            "t",
+            "x",
+        )
     )
-    taus = spark.createDataFrame([(t,) for t in TAUS], "tau int")
-    combos = taus.join(F.broadcast(grid))
-    resid = F.broadcast(combos).join(idx.select("t", "x")).select(
+    resid = combos.select(
         "tau",
         "slope",
         "step",
@@ -160,27 +173,27 @@ def time_series_quantile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") - F.col("slope") * F.col("t")).alias("e"),
     )
     wq = Window.partitionBy("tau", "slope").orderBy("e")
+    wqa = Window.partitionBy("tau", "slope")
     ranked = resid.withColumn(
         "rk", F.row_number().over(wq).cast("bigint")
     )
-    quant = ranked.filter(
-        F.col("rk") == F.expr("(tau * n + 99) div 100")
-    ).select("tau", "slope", F.col("e").alias("q_int"))
+    with_q = ranked.withColumn(
+        "q_int",
+        F.max(
+            F.when(F.col("rk") == F.expr("(tau * n + 99) div 100"), F.col("e"))
+        ).over(wqa),
+    )
     _dec = "decimal(38,0)"
-    losses = (
-        resid.join(F.broadcast(quant), ["tau", "slope"])
-        .groupBy("tau", "slope", "step", "n", "q_int")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("e") >= F.col("q_int"),
-                    F.col("tau").cast(_dec) * (F.col("e") - F.col("q_int")),
-                ).otherwise(
-                    (F.col("tau") - 100).cast(_dec)
-                    * (F.col("e") - F.col("q_int"))
-                )
-            ).alias("loss")
-        )
+    losses = with_q.groupBy("tau", "slope", "step", "n", "q_int").agg(
+        F.sum(
+            F.when(
+                F.col("e") >= F.col("q_int"),
+                F.col("tau").cast(_dec) * (F.col("e") - F.col("q_int")),
+            ).otherwise(
+                (F.col("tau") - 100).cast(_dec)
+                * (F.col("e") - F.col("q_int"))
+            )
+        ).alias("loss")
     )
     best = losses.withColumn(
         "pick",

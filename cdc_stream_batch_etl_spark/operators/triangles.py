@@ -99,6 +99,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("part_b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        # both orientation legs (da, db) consume deg — compute it once
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("node").alias("part_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("part_b"), F.col("deg").alias("deg_b"))
@@ -132,6 +134,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
         )
         .join(closing, ["v", "w"])  # closure edge exists → triangle
+        # lineage break (r12): the 3-leg member union below consumes tri
+        # once per leg — without this the wedge join itself ran 3x
+        .localCheckpoint(eager=False)
     )
     members = (
         tri.select(F.col("u").alias("part_key"))

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 from .ann import N_QUERIES, TOP_K, _dot
 from .ivf import NPROBE
@@ -105,8 +106,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     cent = centroids(e)
 
+    # fan_out: the N x sqrt(N) interpreted dot folds of the cell
+    # assignment otherwise run inside the one scan task
     cells = (
-        e.crossJoin(F.broadcast(cent))
+        fan_out(e).crossJoin(F.broadcast(cent))
         .withColumn("d", _dot("emb", "cemb"))
         .groupBy("vec_id", "emb")
         .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 from .ann import _dot
 from .linalg import fixed_k_centroids, fixed_k_stride_sql
@@ -71,10 +72,16 @@ GROUP BY cell, pos
 def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    cent = fixed_k_centroids(e)
-    d2 = _dot("emb", "emb") - 2 * _dot("emb", "cemb") + _dot("cemb", "cemb")
+    # self-dots are per-vector constants: hoist them out of the N x K
+    # pair loop (one interpreted fold per pair instead of three — the
+    # fold on identical arrays yields identical doubles, and the
+    # ((nv - 2*dot) + nc) association order is unchanged); fan_out
+    # widens the single-row-group scan so the argmin runs cluster-wide
+    cent = fixed_k_centroids(e).withColumn("nc", _dot("cemb", "cemb"))
+    ef = fan_out(e).withColumn("nv", _dot("emb", "emb"))
+    d2 = F.col("nv") - 2 * _dot("emb", "cemb") + F.col("nc")
     assign = (
-        e.crossJoin(F.broadcast(cent))
+        ef.crossJoin(F.broadcast(cent))
         .groupBy("vec_id", "emb")
         .agg(F.min(F.struct(d2.alias("d2"), F.col("cid"))).alias("best"))
         .select("vec_id", "emb", F.col("best.cid").alias("cell"))

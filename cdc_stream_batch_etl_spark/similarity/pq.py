@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 from .ann import N_QUERIES, TOP_K
 from .linalg import fixed_k_centroids, fixed_k_stride_sql
@@ -105,8 +106,15 @@ def _codebook(emb: DataFrame) -> DataFrame:
 
 
 def _subvecs(emb: DataFrame) -> DataFrame:
+    # fan_out: the M_SUB-way explode feeds the N x K interpreted
+    # squared-distance folds of _assign/qtab — widen the single-row-group
+    # scan so that work runs cluster-wide instead of in the one scan task
     return (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        fan_out(
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+            )
+        )
         .select("vec_id", F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"), "emb")
         .select("vec_id", "m", F.expr(_sub_expr("emb", "m")).alias("svec"))
     )

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 from .linalg import adaptive_stride_sql, centroids
 from .linalg import dot as _dot
@@ -101,17 +102,17 @@ def semantic_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cent = centroids(e)
+    # self-dot norms are per-vector/per-centroid constants: hoist them
+    # out of the N x K pair loop (one interpreted fold per pair instead
+    # of three — the fold on identical arrays yields identical doubles,
+    # and sqrt(nv) * sqrt(nc) is the same IEEE chain); fan_out widens
+    # the single-row-group scan so the assignment runs cluster-wide
+    cent = centroids(e).withColumn("snc", F.sqrt(_dot("cemb", "cemb")))
+    ef = fan_out(e).withColumn("snv", F.sqrt(_dot("emb", "emb")))
     scored = (
-        e.crossJoin(F.broadcast(cent))
+        ef.crossJoin(F.broadcast(cent))
         .withColumn("d", _dot("emb", "cemb"))
-        .withColumn(
-            "cos",
-            F.col("d")
-            / (
-                F.sqrt(_dot("emb", "emb")) * F.sqrt(_dot("cemb", "cemb"))
-            ),
-        )
+        .withColumn("cos", F.col("d") / (F.col("snv") * F.col("snc")))
         .select("vec_id", "cid", "d", "cos")
     )
     rn = F.row_number().over(

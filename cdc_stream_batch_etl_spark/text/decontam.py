@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..dedup import hash64_expr, hash64_sql, shingles_col, shingles_sql
+from ..functions.parallelism import fan_out
 from ..registry import register
 from .sampling import TRAIN_PCT, VAL_PCT, _bucket_spark, _bucket_sql
 
@@ -73,13 +74,20 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the train split; contaminated above CONTAM_THRESHOLD."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = _bucket_spark(F.col("doc_id"))
-    sh = docs.select(
-        "doc_id",
-        F.when(bucket < TRAIN_PCT, "train")
-        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
-        shingles_col("text", CONTAM_NGRAM).alias("shingles"),
+    # fan_out + persist: shingling is the CPU-dominant scan-local step
+    # and sh feeds THREE consumers (train grams, eval grams, the final
+    # eval-side join) — uncached it re-runs per consumer, single-task
+    sh = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.when(bucket < TRAIN_PCT, "train")
+            .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+            shingles_col("text", CONTAM_NGRAM).alias("shingles"),
+        )
+        .persist()
     )
     grams = sh.select(
         "doc_id", "split", F.explode("shingles").alias("shingle")
@@ -133,7 +141,13 @@ def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: fraction of its distinct 3-grams shared by at least
     BOILER_MIN_DOCS distinct documents — the boilerplate/template signal."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles_col("text", BOILER_NGRAM).alias("shingles"))
+    # fan_out + persist: same three-consumer shingle frame as
+    # ngram_contamination (boiler grams, per-doc grams, final join)
+    sh = (
+        fan_out(docs)
+        .select("doc_id", shingles_col("text", BOILER_NGRAM).alias("shingles"))
+        .persist()
+    )
     grams = sh.select("doc_id", F.explode("shingles").alias("shingle")).select(
         "doc_id", F.expr(hash64_expr("shingle")).alias("gram")
     )

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 from .classifier import TOK_CAP, W0, W_DIGIT, W_STOP, W_TOK, W_TTR, W_WS
 
@@ -92,7 +93,11 @@ ORDER BY threshold
 def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """31-row PR curve: classifier logit vs the doc_quality 'high'
     rule — confusion counts, precision, recall, F1 per threshold."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the regex/split feature chain is the CPU-dominant
+    # scan-local step; widen the single-row-group scan so the 62
+    # conditional sums' map side runs cluster-wide (integer partial
+    # aggregation — partitioning cannot change the totals)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     f_tok = F.least(n_tokens, F.lit(TOK_CAP)).cast("double")

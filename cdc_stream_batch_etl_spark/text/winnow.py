@@ -73,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.parallelism import fan_out
 from ..registry import register
 
 #: shingle size (tokens) and window size (shingles) — the paper's
@@ -109,7 +110,9 @@ def _shingled(docs: DataFrame) -> DataFrame:
     scalar computed AFTER the explode would pin the whole token array
     into every generated row — O(tokens²) row-copy bytes, which is
     exactly the per-row copyMemory stall the long-doc pytest caught."""
-    toks = docs.select(
+    # fan_out: shingle md5 hashing is CPU-dominant and scan-local —
+    # widen the single-row-group scan so it runs cluster-wide
+    toks = fan_out(docs).select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
     sh = toks.select(

@@ -30,20 +30,23 @@ OVERRIDES = {
     # projection before the Arrow codec pass (169 s -> 10 s class fix for
     # the serial-single-split pathology; no-op at real scan widths)
     "image_phash_dedup": (1, 2),
-    # lineage counts the cached pair/oriented subtrees per reference
-    # (PLANS.md header); runtime reuse is asserted separately in
-    # test_plans.py::test_triangles_reuse_cached_graph_frames
-    "copurchase_triangles": (99, 133),
-    # same lineage-counting quirk: the persisted shingle frame (toks)
+    # r12: tri and deg are localCheckpoint'd (the 3-leg member union
+    # re-ran the wedge join per leg before), so the counter sees only
+    # the post-checkpoint tail — the upstream scans/exchanges run once
+    # behind the checkpoint (runtime reuse asserted in
+    # test_plans.py::test_triangles_reuse_cached_graph_frames)
+    "copurchase_triangles": (0, 1),
+    # lineage-counting quirk: the persisted shingle frame (toks)
     # is referenced 4 ways, so the counter sees 12 lineage scans while
     # the RUNTIME reads documents once (persist measured faster at
     # sf0.1 AND collapses 6 table scans to 1 at 100 TB)
     "prefix_filter_jaccard_pairs": (12, 9),
-    # lineage quirk again: the persisted calendar-bounded daily frame is
-    # referenced by idx/grid/resid/quant, so the counter sees 8 lineage
-    # scans while the RUNTIME reads orders ONCE into the ~2.4k-row cache
-    # (without the persist the plan really did scan orders 4x)
-    "time_series_quantile_trend": (8, 15),
+    # r12: the broadcast-chained grid (3 nested broadcast exchanges +
+    # a quantile re-entry join over a persisted daily frame; budget was
+    # 8 scans / 15 exchanges) is now one linear pipeline — the grid is
+    # two explodes and the quantile a second window over the same
+    # (tau, slope) partitioning, so ONE orders scan and two exchanges
+    "time_series_quantile_trend": (1, 2),
 }
 
 

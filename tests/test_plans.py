@@ -236,20 +236,21 @@ def test_bloom_runtime_filter_injects(spark, sf_dir):
 
 def test_triangles_reuse_cached_graph_frames(spark, sf_dir):
     """copurchase_triangles references the mined pair table three ways
-    (degrees, orientation, wedge+closure sides); the persist() contract
-    means the basket self-join materializes ONCE and every further
-    reference is an InMemoryTableScan — without it the plan re-derives
-    the mining per reference (measured 45 lineage scans)."""
+    (degrees, orientation, wedge+closure sides) and the triangle list
+    three more (one member-union leg per triangle edge). The persist()
+    on pairs plus the r12 localCheckpoints on deg/tri mean the basket
+    self-join AND the wedge join each materialize ONCE: after the first
+    action, every member-union leg is a Scan ExistingRDD of the
+    checkpointed triangle frame and no parquet scan remains in the
+    consuming plan — without the breaks the plan re-derived the mining
+    per reference (measured 45 lineage scans) and the wedge join 3x."""
     from cdc_stream_batch_etl_spark.operators.triangles import copurchase_triangles
 
     df = copurchase_triangles(spark, sf_dir)
-    df.count()  # materialize the caches
+    df.count()  # materialize cache + checkpoints
     plan = _plan(df, "simple")
-    assert plan.count("InMemoryTableScan") >= 3, plan
-    # post-materialization, the only parquet scan left in the consuming
-    # plan is inside the cached subtree — the wedge/closure joins read
-    # memory, not lineitem
-    assert "Scan parquet" not in plan.split("InMemoryRelation")[0], plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+    assert "Scan parquet" not in plan, plan
     spark.catalog.clearCache()
 
 
