@@ -265,9 +265,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real encode→decode round trip: documents → BMP binaries → parsed
     header dims + raster checksum. The oracle predicts the same values
     from digest arithmetic alone, so the binary round trip is fully
-    hash-verified."""
+    hash-verified.
+
+    r13 (guide §4.1/§2.3): encode and decode run in ONE Arrow pass —
+    the ~80 KB/doc BMP payload is built and re-parsed inside the same
+    Python worker instead of crossing JVM↔Python twice between two
+    chained mapInPandas nodes (only the narrow (doc_id, text) input
+    crosses). Both real codec halves (bmp_encode, bmp_decode) still run
+    on every row; nothing is predicted from the digest on the Spark side."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return decode_bmp_features(encode_bmp(docs))
+    docs = spread_for_codec(docs)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, sizes, sums = [], [], [], []
+            for text in pdf["text"]:
+                px = bmp_decode(bmp_encode(_doc_pixels(text)))
+                h, w, _ = px.shape
+                widths.append(w)
+                heights.append(h)
+                sizes.append(w * h * 3)
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": widths,
+                    "height": heights,
+                    "n_channels": 3,
+                    "pixel_bytes": sizes,
+                    "pixel_checksum": sums,
+                }
+            )
+
+    return docs.mapInPandas(fn, schema=_FEATURES_SCHEMA)
 
 
 RESIZE_TARGET = (224, 224)  # the usual vision-model input square
@@ -345,9 +375,38 @@ def resize_bmp(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_i
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize over real BMP payloads: binary-in → binary-out 1:1,
     Arrow-batched, no shuffle. 224×224×24bpp re-encode has no row padding,
-    so the oracle's byte-length constant is exact."""
+    so the oracle's byte-length constant is exact.
+
+    r13 (guide §4.1/§2.3): encode→decode→gather→re-encode fused into ONE
+    Arrow pass (the multimodal_features rationale — the per-doc payload
+    never transits JVM↔Python between codec stages; every codec half
+    still runs for real)."""
+    tw, th = RESIZE_TARGET
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return resize_bmp(encode_bmp(docs))
+    docs = spread_for_codec(docs)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(tw)
+        ys = np.arange(th)
+        for pdf in batches:
+            sizes, sums = [], []
+            for text in pdf["text"]:
+                px = bmp_decode(bmp_encode(_doc_pixels(text)))
+                h, w, _ = px.shape
+                res = px[np.ix_((ys * h) // th, (xs * w) // tw)]
+                sizes.append(len(bmp_encode(res)))
+                sums.append(int(res.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "target_w": tw,
+                    "target_h": th,
+                    "resized_bytes": sizes,
+                    "resized_checksum": sums,
+                }
+            )
+
+    return docs.mapInPandas(fn, schema=_RESIZE_SCHEMA)
 
 
 # multimodal_frame_sample moved to aviops.py in round 9: the 1→N frame

@@ -762,19 +762,24 @@ def image_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum is NOT oracle-predictable — the oracle covers the
     digest-arithmetic columns; reconstruction quality (max error, PSNR)
     is pytest-gated in tests/test_jpeg.py (the compression_gate split:
-    hash-match the exact, gate the approximate)."""
+    hash-match the exact, gate the approximate).
+
+    r13 (guide §4.1/§2.3): encode and decode fused into ONE Arrow pass —
+    the JPEG bytes are built and re-parsed inside the same Python worker
+    instead of crossing JVM↔Python between two chained mapInPandas nodes
+    (the multimodal_features rationale; every codec half still runs)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") % JPEG_SAMPLE_MOD) == 0)
         .select("doc_id", "text")
     )
-    payloads = encode_jpeg(docs)
+    docs = spread_for_codec(docs)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "width", "height", "pixel_bytes")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = jpeg_decode(bytes(payload))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = jpeg_decode(jpeg_encode(_doc_pixels(text), JPEG_QUALITY))
                 hh, ww, _ = px.shape
                 rows["doc_id"].append(int(doc_id))
                 rows["width"].append(ww)
@@ -790,4 +795,4 @@ def image_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)
+    return docs.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)

@@ -38,7 +38,14 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
-from .binaryops import _DIGEST_BYTES, _HEXMAP, bmp_decode, encode_bmp
+from .binaryops import (
+    _DIGEST_BYTES,
+    _HEXMAP,
+    _doc_pixels,
+    bmp_decode,
+    bmp_encode,
+    spread_for_codec,
+)
 
 GRID = 8  # aHash grid: 8×8 = 64 bits
 
@@ -50,28 +57,57 @@ _PHASH_SCHEMA = T.StructType(
 )
 
 
+_IDX = np.arange(GRID)
+_SHIFTS = 1 << np.arange(GRID, dtype=np.int64)
+
+
+def _ahash_hex(px: np.ndarray) -> str:
+    """The 8×8 average hash of one decoded (H, W, 3) raster, as 16 hex
+    chars — the single home of the aHash math (payload-input and fused
+    document-input passes must agree bit-for-bit)."""
+    h, w, _ = px.shape
+    grid = px[np.ix_((_IDX * h) // GRID, (_IDX * w) // GRID)].astype(np.int64)
+    gray = grid.sum(axis=2) // 3  # (8, 8) integer grayscale
+    total = int(gray.sum())
+    bits = (gray * (GRID * GRID)) > total  # g*64 > sum — exact
+    row_bytes = (bits * _SHIFTS).sum(axis=1)
+    return "".join(f"{int(b):02x}" for b in row_bytes)
+
+
 def image_ahash(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, phash): the 8×8 average hash of each decoded raster."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx = np.arange(GRID)
-        shifts = 1 << np.arange(GRID, dtype=np.int64)
         for pdf in batches:
-            hashes = []
-            for payload in pdf[payload_col]:
-                px = bmp_decode(bytes(payload))
-                h, w, _ = px.shape
-                grid = px[np.ix_((idx * h) // GRID, (idx * w) // GRID)].astype(np.int64)
-                gray = grid.sum(axis=2) // 3  # (8, 8) integer grayscale
-                total = int(gray.sum())
-                bits = (gray * (GRID * GRID)) > total  # g*64 > sum — exact
-                row_bytes = (bits * shifts).sum(axis=1)
-                hashes.append("".join(f"{int(b):02x}" for b in row_bytes))
+            hashes = [_ahash_hex(bmp_decode(bytes(p))) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "phash": hashes}
             )
 
     return df.mapInPandas(fn, schema=_PHASH_SCHEMA)
+
+
+def image_ahash_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, phash) straight from (doc_id, text) in ONE Arrow pass.
+
+    r13 (guide §4.1/§2.3): the ~80 KB/doc BMP is built (bmp_encode) and
+    re-parsed (bmp_decode) inside the same Python worker instead of
+    crossing JVM↔Python twice between chained encode/ahash mapInPandas
+    nodes — measured ×4-5 on the phash family with the run-to-run
+    variance gone (the 385 MB/pass Arrow transfer was the noise source).
+    Both real codec halves still run on every row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                _ahash_hex(bmp_decode(bmp_encode(_doc_pixels(t))))
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "phash": hashes}
+            )
+
+    return spread_for_codec(docs).mapInPandas(fn, schema=_PHASH_SCHEMA)
 
 
 # The fixture rasters tile the digest per row (every row identical), so
@@ -138,7 +174,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    hashes = image_ahash(encode_bmp(docs))
+    hashes = image_ahash_docs(docs)
     w = Window.partitionBy("phash")
     return hashes.select(
         "doc_id",
@@ -288,4 +324,4 @@ def image_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole bound keeps recall at radius 3 EXACT; the oracle
     replays the same banding + cap on its digest-predicted hashes."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return phash_near_pairs(image_ahash(encode_bmp(docs)))
+    return phash_near_pairs(image_ahash_docs(docs))

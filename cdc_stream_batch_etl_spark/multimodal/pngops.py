@@ -190,15 +190,20 @@ def image_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit the decoded dimensions + exact raster checksum. The oracle
     predicts the same values from digest arithmetic WITHOUT running
     zlib — identical expectations to the BMP path, so a filter-math or
-    framing bug cannot hide."""
+    framing bug cannot hide.
+
+    r13 (guide §4.1/§2.3): encode and decode fused into ONE Arrow pass —
+    the PNG bytes are built and re-parsed inside the same Python worker
+    instead of crossing JVM↔Python between two chained mapInPandas nodes
+    (the multimodal_features rationale; every codec half still runs)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    payloads = encode_png(docs)
+    docs = spread_for_codec(docs)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "width", "height", "pixel_bytes", "checksum")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = png_decode(bytes(payload))
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = png_decode(png_encode(_doc_pixels(text)))
                 h, w, _ = px.shape
                 rows["doc_id"].append(int(doc_id))
                 rows["width"].append(w)
@@ -216,4 +221,4 @@ def image_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)
+    return docs.mapInPandas(fn, schema=_ROUNDTRIP_SCHEMA)

@@ -122,9 +122,11 @@ def test_phash_single_scan_single_arrow_pass(spark, sf_dir):
 
     plan = _plan(image_phash_dedup(spark, sf_dir), "simple")
     assert plan.count("Scan ") == 1, plan
-    # encode_bmp + image_ahash chain as two MapInPandas nodes over the
-    # SAME single pass; a second pass would double the Scan count
-    assert plan.count("MapInPandas") == 2, plan
+    # r13: encode+ahash are FUSED into one MapInPandas node — the BMP
+    # payload is built and re-parsed inside one Python worker and never
+    # transits JVM<->Python between codec stages (guide §4.1); a second
+    # node (the pre-r13 chain) re-pays the payload transfer both ways
+    assert plan.count("MapInPandas") == 1, plan
     assert "Join" not in plan, plan
 
 
