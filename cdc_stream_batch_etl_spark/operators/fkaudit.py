@@ -90,43 +90,94 @@ def audit_edges(
 ) -> DataFrame:
     """Core audit over name→DataFrame — split out so tests can plant
     orphan and NULL FKs (the driver testdata is referentially clean, so
-    the orphan branches need planted drift)."""
-    per_edge = []
-    for child, fk, parent, pk in edges:
-        ck = (
-            frames[child]
-            .groupBy(F.col(fk).alias("k"))
-            .agg(F.count("*").alias("n"))
+    the orphan branches need planted drift).
+
+    r13 (guide §5.2/§2.4): one plan, not eight. The r12 shape built an
+    independent groupBy+join+agg per edge — 16 scans (lineitem 3×,
+    customer/nation 3× each), 8 joins, ~24 exchanges, and the per-stage
+    scheduling overhead dominated the audit (7.4 s solo at sf0.1 for
+    ~1.5 s of actual aggregation). Now every child table is scanned ONCE
+    and melted to (edge_id, fk) rows (lineitem's three FKs explode from
+    the same scan), every parent ONCE to (edge_id, pk), and a single
+    groupBy(edge, k) → left join → groupBy(edge) computes all eight
+    ledger rows in 2 shuffles + 1 join. Per-edge counts are grouped by
+    the edge id throughout, so every output integer is unchanged."""
+    labels: list[str] = [f"{c}.{fk}->{p}.{pk}" for c, fk, p, pk in edges]
+
+    # one scan per CHILD table, melted to (e, k) — lineitem's 3 FKs ride
+    # the same scan via one explode
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    for i, (child, fk, _p, _pk) in enumerate(edges):
+        by_child.setdefault(child, []).append((i, fk))
+    child_frames = []
+    for child, fks in by_child.items():
+        melt = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("e"),
+                        F.col(fk).cast("bigint").alias("k"),
+                    )
+                    for i, fk in fks
+                ]
+            )
+        ).alias("m")
+        child_frames.append(
+            frames[child].select(melt).select(F.col("m.e").alias("e"), F.col("m.k").alias("k"))
         )
-        pkeys = frames[parent].select(F.col(pk).alias("pk")).distinct()
-        joined = ck.join(pkeys, ck["k"] == pkeys["pk"], "left").select(
-            "k",
-            "n",
-            (F.col("k").isNotNull() & F.col("pk").isNull()).alias("orphan"),
-        )
-        per_edge.append(
-            joined.agg(
-                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
-                F.sum("n").cast("bigint").alias("child_rows"),
-                F.coalesce(
-                    F.sum(F.when(F.col("k").isNull(), F.col("n"))), F.lit(0)
-                )
-                .cast("bigint")
-                .alias("fk_nulls"),
-                F.count("k").cast("bigint").alias("distinct_fk"),
-                F.coalesce(
-                    F.count(F.when(F.col("orphan"), F.col("k"))), F.lit(0)
-                )
-                .cast("bigint")
-                .alias("orphan_keys"),
-                F.coalesce(
-                    F.sum(F.when(F.col("orphan"), F.col("n"))), F.lit(0)
-                )
-                .cast("bigint")
-                .alias("orphan_rows"),
+    melted = child_frames[0]
+    for df in child_frames[1:]:
+        melted = melted.unionByName(df)
+    ck = melted.groupBy("e", "k").agg(F.count("*").alias("n"))
+
+    # one scan per PARENT table, melted to (e, pk) — a parent serving two
+    # edges (customer, nation) explodes both edge ids from one scan
+    by_parent: dict[str, list[tuple[int, str]]] = {}
+    for i, (_c, _fk, parent, pk) in enumerate(edges):
+        by_parent.setdefault(parent, []).append((i, pk))
+    parent_frames = []
+    for parent, pks in by_parent.items():
+        pk_col = pks[0][1]  # a table has ONE pk column in the edge list
+        parent_frames.append(
+            frames[parent].select(
+                F.explode(F.array(*[F.lit(i) for i, _ in pks])).alias("e"),
+                F.col(pk_col).cast("bigint").alias("pk"),
             )
         )
-    out = per_edge[0]
-    for df in per_edge[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("edge")
+    pkeys = parent_frames[0]
+    for df in parent_frames[1:]:
+        pkeys = pkeys.unionByName(df)
+    pkeys = pkeys.distinct()
+
+    joined = ck.join(pkeys, (ck["e"] == pkeys["e"]) & (ck["k"] == pkeys["pk"]), "left").select(
+        ck["e"].alias("e"),
+        "k",
+        "n",
+        (F.col("k").isNotNull() & F.col("pk").isNull()).alias("orphan"),
+    )
+    label_arr = F.array(*[F.lit(s) for s in labels])
+    return (
+        joined.groupBy("e")
+        .agg(
+            F.sum("n").cast("bigint").alias("child_rows"),
+            F.coalesce(F.sum(F.when(F.col("k").isNull(), F.col("n"))), F.lit(0))
+            .cast("bigint")
+            .alias("fk_nulls"),
+            F.count("k").cast("bigint").alias("distinct_fk"),
+            F.coalesce(F.count(F.when(F.col("orphan"), F.col("k"))), F.lit(0))
+            .cast("bigint")
+            .alias("orphan_keys"),
+            F.coalesce(F.sum(F.when(F.col("orphan"), F.col("n"))), F.lit(0))
+            .cast("bigint")
+            .alias("orphan_rows"),
+        )
+        .select(
+            F.element_at(label_arr, F.col("e") + 1).alias("edge"),
+            "child_rows",
+            "fk_nulls",
+            "distinct_fk",
+            "orphan_keys",
+            "orphan_rows",
+        )
+        .orderBy("edge")
+    )

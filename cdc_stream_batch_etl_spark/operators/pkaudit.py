@@ -79,38 +79,69 @@ def audit_keys(
     keys: tuple[tuple[str, tuple[str, ...]], ...],
 ) -> DataFrame:
     """Core audit over name→DataFrame — split out so tests can plant
-    duplicate and NULL keys (driver testdata is key-clean)."""
-    per_table = []
-    for table, cols in keys:
+    duplicate and NULL keys (driver testdata is key-clean).
+
+    r13 (guide §5.2/§2.4): one plan, not ten. The r12 shape ran an
+    independent groupBy + 1-row agg per table — ~21 exchanges and ~30
+    stages of scheduling overhead around ~1 s of aggregation. Each table
+    is still scanned once, but its key rows melt into a common
+    (table_id, k1, k2, keyed) frame (k2 NULL for single-column keys;
+    ``keyed`` — all key columns non-NULL — is computed from the table's
+    real columns before the melt), so ONE groupBy(e, k1, k2) and ONE
+    groupBy(e) produce all ten ledger rows in 2 exchanges + the final
+    sort. Grouping by (e, k1, k2) partitions rows exactly as each
+    table's groupBy(*cols) did (bigint casts are lossless on the integer
+    keys), so every count is unchanged."""
+    labels: list[str] = [f"{t}({', '.join(c)})" for t, c in keys]
+    melted = None
+    for i, (table, cols) in enumerate(keys):
         keyed = F.lit(True)
         for c in cols:
             keyed = keyed & F.col(c).isNotNull()
-        grouped = (
-            frames[table]
-            .groupBy(*cols)
-            .agg(F.count("*").alias("n"))
-            .select(keyed.alias("keyed"), "n")
+        k1 = F.col(cols[0]).cast("bigint")
+        k2 = (
+            F.col(cols[1]).cast("bigint")
+            if len(cols) > 1
+            else F.lit(None).cast("bigint")
         )
-        dup = F.col("keyed") & (F.col("n") > 1)
-        per_table.append(
-            grouped.agg(
-                F.lit(f"{table}({', '.join(cols)})").alias("pk"),
-                F.sum("n").cast("bigint").alias("total_rows"),
-                F.count(F.when(F.col("keyed"), 1))
-                .cast("bigint")
-                .alias("distinct_keys"),
-                F.count(F.when(dup, 1)).cast("bigint").alias("dup_keys"),
-                F.coalesce(F.sum(F.when(dup, F.col("n") - 1)), F.lit(0))
-                .cast("bigint")
-                .alias("excess_rows"),
-                F.coalesce(
-                    F.sum(F.when(~F.col("keyed"), F.col("n"))), F.lit(0)
-                )
-                .cast("bigint")
-                .alias("null_key_rows"),
-            )
+        part = frames[table].select(
+            F.lit(i).alias("e"),
+            k1.alias("k1"),
+            k2.alias("k2"),
+            keyed.alias("keyed"),
         )
-    out = per_table[0]
-    for df in per_table[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("pk")
+        melted = part if melted is None else melted.unionByName(part)
+
+    grouped = (
+        melted.groupBy("e", "k1", "k2")
+        # keyed is functionally dependent on the key columns' nullness —
+        # max() just carries it through the agg
+        .agg(F.count("*").alias("n"), F.max("keyed").alias("keyed"))
+    )
+    dup = F.col("keyed") & (F.col("n") > 1)
+    label_arr = F.array(*[F.lit(s) for s in labels])
+    return (
+        grouped.groupBy("e")
+        .agg(
+            F.sum("n").cast("bigint").alias("total_rows"),
+            F.count(F.when(F.col("keyed"), 1))
+            .cast("bigint")
+            .alias("distinct_keys"),
+            F.count(F.when(dup, 1)).cast("bigint").alias("dup_keys"),
+            F.coalesce(F.sum(F.when(dup, F.col("n") - 1)), F.lit(0))
+            .cast("bigint")
+            .alias("excess_rows"),
+            F.coalesce(F.sum(F.when(~F.col("keyed"), F.col("n"))), F.lit(0))
+            .cast("bigint")
+            .alias("null_key_rows"),
+        )
+        .select(
+            F.element_at(label_arr, F.col("e") + 1).alias("pk"),
+            "total_rows",
+            "distinct_keys",
+            "dup_keys",
+            "excess_rows",
+            "null_key_rows",
+        )
+        .orderBy("pk")
+    )

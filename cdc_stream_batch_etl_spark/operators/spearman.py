@@ -116,65 +116,135 @@ ORDER BY x_col, y_col
 _DEC = "decimal(38,0)"
 
 
+#: values-per-bucket for the two-level cumulative sum below. Any constant
+#: yields identical integers; 1024 keeps the bucket frame ≤ ~0.1% of the
+#: marginal frame.
+_CUM_BUCKET = 1024
+
+
 def _rank_map(joint: DataFrame, key: str) -> DataFrame:
-    """gx -> (t, r2): per-value count and integer DOUBLED midrank."""
-    marg = joint.groupBy(key).agg(F.sum("c").alias("t"))
-    cum = F.sum("t").over(
-        Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+    """(pair, gx) -> (t, r2): per-value count and integer DOUBLED midrank,
+    computed for every pair at once.
+
+    r13 (guide §2.5 — the one-giant-partition window): the inclusive
+    cumulative sum is computed in TWO levels instead of one global
+    window per pair. The price marginal has ~581k distinct values at
+    sf0.1 (≈ one per fact row), so a Window.partitionBy(p).orderBy(gx)
+    sorts the whole marginal in ONE task — a straggler that only grows
+    with SF. Split by value range instead: per-(p, bucket) local cumsum
+    runs as a parallel window, and each bucket's offset is the cumsum of
+    the per-bucket totals (a few hundred rows). off + local is the same
+    exact bigint the single window produced for every row."""
+    marg = joint.groupBy("p", key).agg(F.sum("c").alias("t")).withColumn(
+        # exact floor division (gx div N truncates toward zero, which
+        # would misorder negative grids; grids here are non-negative but
+        # the helper should not rely on it)
+        "bkt",
+        F.expr(f"({key} - pmod({key}, {_CUM_BUCKET})) div {_CUM_BUCKET}"),
     )
-    return marg.select(
-        key, "t", (2 * (cum - F.col("t")) + F.col("t") + 1).alias("r2")
+    local_cum = F.sum("t").over(
+        Window.partitionBy("p", "bkt")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = marg.groupBy("p", "bkt").agg(F.sum("t").alias("bt"))
+    offsets = totals.select(
+        "p",
+        "bkt",
+        F.coalesce(
+            F.sum("bt").over(
+                Window.partitionBy("p")
+                .orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    cum = F.col("off") + local_cum
+    return marg.join(F.broadcast(offsets), ["p", "bkt"]).select(
+        "p", key, "t", (2 * (cum - F.col("t")) + F.col("t") + 1).alias("r2")
     )
 
 
-def _pair_row(spark: SparkSession, sf_dir: str, x: str, y: str) -> DataFrame:
+@register("spearman_corr_matrix", oracle=_oracle())
+def spearman_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x_col, y_col, n, rho) — tie-corrected Spearman rho for each
+    monitored lineitem column pair, computed from grouped joints with
+    integer doubled midranks; decimal(38,0)/HUGEINT sums.
+
+    r13 (guide §2.4/§5.2): ONE lineitem scan for the whole matrix. Each
+    fact row melts into one (pair, gx, gy) tuple per monitored pair
+    (explode of a 4-literal struct array), and a single map-side-combining
+    hash agg builds all four grouped joints at once; rank maps, marginal
+    sums and sxy then run per-pair via groupBy(p)/partitionBy(p) on the
+    tiny distinct-combo frames. The r12 shape persisted each pair's joint
+    but still scanned lineitem once per pair (4 scans, 4 independent
+    plans). All SIX sufficient statistics (n, sx, sxx, sy, syy, sxy) come
+    from ONE aggregation over the joint⋈mx⋈my frame: sum over combos of
+    c·r2x == sum over gx of t·r2x etc. — decimal(38,0) addition is exact,
+    so the regrouping is value-identical, and the separate marginal-sum
+    pass (plus both rank-map persists) disappears. Arithmetic is
+    unchanged — the same integer doubled midranks, the same decimal(38,0)
+    sums, the same one-shot double read-out — so every output double is
+    bit-identical."""
     li = load_table(spark, sf_dir, "lineitem")
-    # r12 optimization (guide §5 caching, §2.4): the grouped joint is
-    # referenced three ways (both rank maps and the sxy join) and each
-    # rank map twice more (marginal sums + broadcast back into sxy) —
-    # unpersisted, every reference re-ran the lineitem scan + hash agg:
-    # the plan held 5 fact-table scans PER PAIR (20 for the matrix,
-    # 15.8 s at sf0.1). Persisting the distinct-combo joint and the two
-    # tiny rank maps leaves ONE lineitem scan per pair. Pure reuse — no
-    # arithmetic changes, output bit-identical. Caller clears via
-    # clearCache (pagerank/kcore contract).
-    joint = (
-        li.select(
-            F.expr(_VARS[x]).alias("gx"), F.expr(_VARS[y]).alias("gy")
+    melt = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("p"),
+                    F.expr(_VARS[x]).alias("gx"),
+                    F.expr(_VARS[y]).alias("gy"),
+                )
+                for i, (x, y) in enumerate(_PAIRS)
+            ]
         )
-        .groupBy("gx", "gy")
+    ).alias("e")
+    joint = (
+        li.select(melt)
+        .select(F.col("e.p").alias("p"), F.col("e.gx").alias("gx"), F.col("e.gy").alias("gy"))
+        .groupBy("p", "gx", "gy")
         .agg(F.count("*").alias("c"))
+        # referenced by both rank maps and the sxy join (r12 rationale);
+        # caller clears via clearCache (pagerank/kcore contract)
         .persist()
     )
-    mx = _rank_map(joint, "gx").persist()
-    my = _rank_map(joint, "gy").persist()
-    margs = mx.agg(
-        F.sum("t").alias("n"),
-        F.sum(F.col("t").cast(_DEC) * F.col("r2")).alias("sx"),
-        F.sum(F.col("t").cast(_DEC) * F.col("r2") * F.col("r2")).alias("sxx"),
-    ).crossJoin(
-        my.agg(
-            F.sum(F.col("t").cast(_DEC) * F.col("r2")).alias("sy"),
-            F.sum(F.col("t").cast(_DEC) * F.col("r2") * F.col("r2")).alias(
-                "syy"
-            ),
+    mx = _rank_map(joint, "gx")
+    my = _rank_map(joint, "gy")
+    cd = F.col("c").cast(_DEC)
+    stats = (
+        joint.join(
+            F.broadcast(mx.select("p", "gx", F.col("r2").alias("r2x"))),
+            ["p", "gx"],
         )
-    )
-    sxy = (
-        joint.join(F.broadcast(mx.select("gx", F.col("r2").alias("r2x"))), "gx")
-        .join(F.broadcast(my.select("gy", F.col("r2").alias("r2y"))), "gy")
+        .join(
+            # NO broadcast hint: the y marginal is fact-row-sized for the
+            # price pair (~581k rows at sf0.1 — one distinct cent price
+            # per row), so forcing a broadcast collects it to the driver
+            # and re-ships it to every task; A/B-measured [13.9, 9.9,
+            # 5.6, 19.2] s broadcast vs [5.7, 6.2, 5.8, 5.0] s shuffled.
+            # AQE picks the strategy from real sizes instead.
+            my.select("p", "gy", F.col("r2").alias("r2y")),
+            ["p", "gy"],
+        )
+        .groupBy("p")
         .agg(
-            F.sum(F.col("c").cast(_DEC) * F.col("r2x") * F.col("r2y")).alias(
-                "sxy"
-            )
+            F.sum("c").alias("n"),
+            F.sum(cd * F.col("r2x")).alias("sx"),
+            F.sum(cd * F.col("r2x") * F.col("r2x")).alias("sxx"),
+            F.sum(cd * F.col("r2y")).alias("sy"),
+            F.sum(cd * F.col("r2y") * F.col("r2y")).alias("syy"),
+            F.sum(cd * F.col("r2x") * F.col("r2y")).alias("sxy"),
         )
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
+    x_names = F.array(*[F.lit(x) for x, _ in _PAIRS])
+    y_names = F.array(*[F.lit(y) for _, y in _PAIRS])
     return (
-        margs.crossJoin(sxy)
+        stats
         .select(
-            F.lit(x).alias("x_col"),
-            F.lit(y).alias("y_col"),
+            F.element_at(x_names, F.col("p") + 1).alias("x_col"),
+            F.element_at(y_names, F.col("p") + 1).alias("y_col"),
             F.col("n").cast("bigint").alias("n"),
             (
                 (d("n") * d("sxy") - d("sx") * d("sy"))
@@ -184,16 +254,5 @@ def _pair_row(spark: SparkSession, sf_dir: str, x: str, y: str) -> DataFrame:
                 )
             ).alias("rho"),
         )
+        .orderBy("x_col", "y_col")
     )
-
-
-@register("spearman_corr_matrix", oracle=_oracle())
-def spearman_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(x_col, y_col, n, rho) — tie-corrected Spearman rho for each
-    monitored lineitem column pair, computed from grouped joints with
-    integer doubled midranks; decimal(38,0)/HUGEINT sums."""
-    out = None
-    for x, y in _PAIRS:
-        row = _pair_row(spark, sf_dir, x, y)
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("x_col", "y_col")
