@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize
 from ..registry import register
 from .minhash import lsh_pairs, pairs_oracle_sql
 
@@ -115,9 +116,9 @@ def star_contraction(edges: DataFrame, max_iter: int = MAX_ITER):
     node. O(log n) rounds (Kiveris et al. thm 3.2); each round is two
     groupBy shuffles over the edge list only.
     """
-    cur = _canonical(edges).localCheckpoint()
+    cur = materialize(_canonical(edges))
     for rounds in range(1, max_iter + 1):
-        nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint()
+        nxt = materialize(_canonical(_small_star(_large_star(cur))))
         # distinct sets are equal iff their full outer join has no
         # one-sided row — ONE action per round where the former
         # (count, subtract().count()) spelling paid two jobs and an
@@ -166,9 +167,9 @@ def connected_components(
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint()
     )
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    sym = materialize(sym)
+    labels = materialize(nodes.select("id", F.col("id").alias("label")))
     for _ in range(MAX_ITER):
         nb_min = (
             sym.join(labels, sym["src"] == labels["id"])

@@ -30,9 +30,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from .minhash import lsh_pairs, pairs_oracle_sql
+from .minhash import lsh_pairs_from_shingled, pairs_oracle_sql, shingled_docs
 from .ngram import _ORACLE as _NGRAM_ORACLE
-from .ngram import ngram_jaccard_pairs
+from .ngram import jaccard_pairs_from_shingled
 
 _EVAL_ORACLE = f"""
 WITH truth AS ({_NGRAM_ORACLE}),
@@ -56,10 +56,17 @@ FROM j
 @register("lsh_recall_eval", oracle=_EVAL_ORACLE)
 def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (n_truth, n_lsh, n_common, precision, recall) of the
-    banded-LSH near-dup pairs vs the exact-join ground truth."""
+    banded-LSH near-dup pairs vs the exact-join ground truth.
+
+    r13 (guide §5.2, the r12 verdict's shared-scan ask): BOTH legs are
+    fed from ONE eagerly-materialized (doc_id, shingles) frame. The r12
+    shape ran the corpus shingling twice — once into the truth leg's
+    checkpoint, once into the LSH leg's — serializing two eager fills
+    back-to-back before the full-outer join could start."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    lshp = lsh_pairs(docs).select("doc_a", "doc_b")
+    shingled = shingled_docs(docs, hashed=True)
+    truth = jaccard_pairs_from_shingled(shingled).select("doc_a", "doc_b")
+    lshp = lsh_pairs_from_shingled(shingled).select("doc_a", "doc_b")
     j = truth.withColumn("t", F.lit(True)).join(
         lshp.withColumn("l", F.lit(True)), ["doc_a", "doc_b"], "full_outer"
     )

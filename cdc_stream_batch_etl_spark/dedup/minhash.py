@@ -18,8 +18,13 @@ Scale notes:
   corpus scan, pure codegen arithmetic after.
 - candidate generation is ONE ``groupBy(band, bucket)`` shuffle of the
   tiny band table (4 rows × ~50 bytes per doc) followed by in-bucket pair
-  explosion — no band-table self-join, no ``persist()`` (nothing cached,
-  nothing to leak). Pair explosion is bounded by the bucket cap below.
+  explosion — no band-table self-join. The shared (doc_id, shingles)
+  frame IS eagerly materialized (``shingled_docs`` localCheckpoint —
+  three consumers, race-safe fill; r12); note the checkpoint blocks are
+  ContextCleaner/GC-managed, not released by ``clearCache()``, and at
+  real cluster scale a reliable checkpoint / DISK_ONLY persist should
+  replace the executor-local one (see functions/materialize.py). Pair
+  explosion is bounded by the bucket cap below.
 - MAX_BUCKET caps bucket size (standard production LSH): a degenerate
   bucket (boilerplate/templated corpora hashing identically) would make
   candidate generation quadratic in that bucket, so buckets larger than
@@ -43,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize
 from ..functions.parallelism import fan_out
 from ..registry import register
 from . import hash64_expr, hash64_sql, shingles_col, shingles_sql
@@ -173,6 +179,44 @@ def _bands(docs: DataFrame) -> DataFrame:
     )
 
 
+def shingled_docs(docs: DataFrame, hashed: bool = False) -> DataFrame:
+    """(doc_id, shingles[, hshingles]), fanned out and EAGERLY
+    materialized — the shared corpus-shingling base of the LSH family.
+
+    EAGER lineage break: the shingle frame feeds THREE consumers inside
+    lsh_pairs (the band table and BOTH sides of the verification join)
+    and shingling is the CPU-dominant scan-local step; uncached it re-ran
+    per consumer (r12: 3 evaluations -> 1). Eager (not lazy persist)
+    because a composed consumer (lsh_recall_eval's full-outer join) runs
+    this subtree's stages CONCURRENTLY from two legs — a lazy cache then
+    race-fills from both and the measured tail is bimodal (3.9 s vs
+    41 s); materializing before any consumer stage launches removes the
+    race. r13: split out so lsh_recall_eval's exact-truth leg
+    (dedup/ngram.py) shares this one materialization instead of filling
+    a second shingle checkpoint of its own.
+
+    ``hashed`` MUST stay True for the LSH path: with ``hshingles`` a
+    materialized column, the per-shingle md5 runs exactly once in the
+    checkpoint fill; as a lazy projection the optimizer inlines the
+    ``transform(shingles, md5(...))`` into each of the 16 signature
+    expressions that reference it and the hashing runs 16x (measured
+    minhash_lsh_pairs 1.9 s -> 5.0 s / dedup_ledger 3.4 s -> 11 s solo
+    before this was caught — the ngram_fold_sql CollapseProject lesson).
+
+    Checkpoint lifetime note (ADVICE r12): localCheckpoint blocks are
+    NOT released by spark.catalog.clearCache(); they are freed by
+    ContextCleaner when the DataFrame is GC'd. Construction also runs
+    Spark jobs eagerly — plan-only tooling pays the shingling pass."""
+    base = fan_out(docs).withColumn("shingles", shingles_col())
+    cols = ["doc_id", "shingles"]
+    if hashed:
+        base = base.withColumn(
+            "hshingles", F.expr(f"transform(shingles, s -> {_H_SPARK})")
+        )
+        cols.append("hshingles")
+    return materialize(base.select(*cols), eager=True)
+
+
 def lsh_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     """LSH near-dup pairs over any (doc_id, text) DataFrame.
 
@@ -182,19 +226,16 @@ def lsh_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     bucket guard; the oracle applies the identical cap), so per-bucket
     work is bounded at C(max_bucket, 2) pairs regardless of corpus shape.
     """
-    # EAGER lineage break: the shingle+hash frame feeds THREE consumers
-    # — the band table and BOTH sides of the verification join — and
-    # shingle hashing is the CPU-dominant step of the whole plan;
-    # uncached it re-ran per consumer (r12: 3 evaluations -> 1). Eager
-    # (not lazy persist) because a composed consumer (lsh_recall_eval's
-    # full-outer join) runs this subtree's stages CONCURRENTLY from two
-    # legs — a lazy cache then race-fills from both and the measured
-    # tail is bimodal (3.9 s vs 41 s); materializing before the join
-    # starts removes the race.
-    with_sh = _with_hashed_shingles(docs).select(
-        "doc_id", "shingles", "hshingles"
-    ).localCheckpoint(eager=True)
+    return lsh_pairs_from_shingled(shingled_docs(docs, hashed=True), max_bucket)
 
+
+def lsh_pairs_from_shingled(
+    with_sh: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """lsh_pairs over a pre-materialized (doc_id, shingles, hshingles)
+    frame (shingled_docs(hashed=True)) — split out so composed consumers
+    (lsh_recall_eval) can feed BOTH their legs from one shingle
+    materialization."""
     sigs = with_sh.select("doc_id", *_sig_exprs_spark())
     bands = sigs.select(
         "doc_id",

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from . import shingles_col, shingles_sql
+from . import shingles_sql
 
 JACCARD_THRESHOLD = 0.5
 
@@ -45,24 +45,29 @@ WHERE CAST(i.shared AS DOUBLE) / (ca.n + cb.n - i.shared) >= {JACCARD_THRESHOLD}
 
 @register("ngram_jaccard_pairs", oracle=_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.parallelism import fan_out
+    from .minhash import shingled_docs
 
     docs = load_table(spark, sf_dir, "documents")
-    # r12 optimization (guide §5 caching, §2.5): the shingle table feeds
-    # BOTH sides of the self-join and the per-doc counts — unpersisted,
-    # the interpreted zip_with shingling ran three times; and on the
-    # single-row-group corpus file it ran inside one scan task (the
-    # minhash/spans fan_out precedent). One persisted, fanned-out
-    # shingling pass now feeds all three references; output unchanged.
-    # Caller clears via clearCache. (lsh_recall_eval inherits both wins
-    # through its truth leg.)
-    # eager, not lazy persist: both self-join sides race-fill a lazy
-    # cache from concurrent stages (the minhash with_sh lesson, r12)
-    sh = (
-        fan_out(docs)
-        .select("doc_id", F.explode(shingles_col()).alias("shingle"))
-        .localCheckpoint(eager=True)
-    )
+    return jaccard_pairs_from_shingled(shingled_docs(docs))
+
+
+def jaccard_pairs_from_shingled(shingled: DataFrame) -> DataFrame:
+    """Exact-Jaccard pairs over a pre-materialized (doc_id, shingles)
+    frame (dedup/minhash.shingled_docs).
+
+    r12 (guide §5 caching, §2.5): the shingle table feeds BOTH sides of
+    the self-join and the per-doc counts — unpersisted, the interpreted
+    zip_with shingling ran three times, inside one scan task of the
+    single-row-group corpus file. One eagerly-materialized, fanned-out
+    shingling pass feeds all three references (eager because the
+    self-join sides race-fill a lazy cache from concurrent stages).
+    r13: the materialized frame is the SAME (doc_id, shingles) base the
+    LSH leg uses, so lsh_recall_eval shingles the corpus once, not twice;
+    the explode to (doc_id, shingle) rows happens per consumer — array
+    flattening over checkpointed rows, trivial next to the shingling.
+    Checkpoint blocks are ContextCleaner/GC-managed (not released by
+    clearCache — see functions/materialize.py)."""
+    sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
 from ..registry import register
 from .graphprofile import _EDGES_CTE, _edges
 
@@ -116,17 +117,18 @@ _KTRUSS_ORACLE = (
 )
 
 
-def _support(e: DataFrame) -> DataFrame:
-    """(u, v, support) on an undirected (u < v by id) edge frame, via
-    rank-oriented triangle enumeration (triangles.py's corrected plan)."""
+def _triangles(e: DataFrame) -> DataFrame:
+    """(tu, tv, tw) — each triangle of the undirected (u < v) edge frame
+    exactly once, via rank-oriented wedge closure (triangles.py's
+    corrected plan). Checkpointed: consumed once per member leg."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-        # both orientation legs (da, db) consume deg — compute it once
-        .localCheckpoint(eager=False)
     )
+    # both orientation legs (da, db) consume deg — compute it once
+    deg = materialize(deg, eager=False)
     da = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_b"))
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
@@ -142,8 +144,8 @@ def _support(e: DataFrame) -> DataFrame:
             .otherwise(F.col("deg_a"))
             .alias("dst_deg"),
         )
-        .localCheckpoint(eager=False)
     )
+    oriented = materialize(oriented, eager=False)
     w1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("tv"),
         F.col("dst_deg").alias("dv"),
@@ -155,7 +157,7 @@ def _support(e: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("tv"), F.col("dst").alias("tw")
     )
-    tri = (
+    return (
         w1.join(w2, "a")
         .filter(
             (F.col("dv") < F.col("dw"))
@@ -165,8 +167,40 @@ def _support(e: DataFrame) -> DataFrame:
         .select(F.col("a").alias("tu"), "tv", "tw")
         # lineage break (r12): the 3-leg member union consumes tri once
         # per leg — without this the wedge join itself ran 3x per round
-        .localCheckpoint(eager=False)
+        .transform(lambda df: materialize(df, eager=False))
     )
+
+
+def _surviving_triangles(tri: DataFrame, e: DataFrame) -> DataFrame:
+    """Triangles of ``e`` given the triangles of a SUPERSET edge frame:
+    keep exactly those whose three (id-normalized) edges survive in e.
+
+    r13 (guide §2.4 — remove the recomputation): for e_next ⊆ e_prev,
+    triangles(e_next) == {t ∈ triangles(e_prev) : all 3 edges of t ∈
+    e_next} — any triangle of the subgraph is a triangle of the
+    supergraph, and a supergraph triangle whose edges all survive is a
+    subgraph triangle. Each triangle appears exactly once on both sides
+    (the oriented enumeration emits one row per triangle; this filter
+    neither duplicates nor drops beyond the survival predicate), so the
+    per-edge incidence counts downstream are the same integers a fresh
+    wedge enumeration on e_next would produce. Three semi-joins of the
+    (small) triangle frame replace a full degree agg + orientation join
+    + wedge self-join per peel round."""
+    ea = e.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    out = tri
+    for a, b in (("tu", "tv"), ("tu", "tw"), ("tv", "tw")):
+        out = out.join(
+            ea,
+            (F.least(F.col(a), F.col(b)) == F.col("eu"))
+            & (F.greatest(F.col(a), F.col(b)) == F.col("ev")),
+            "left_semi",
+        )
+    return out
+
+
+def _support_from(e: DataFrame, tri: DataFrame) -> DataFrame:
+    """(u, v, support): credit each triangle's three id-normalized edges
+    and left-join back onto the edge frame (zero-triangle edges → 0)."""
     members = (
         tri.select(
             F.least("tu", "tv").alias("eu"), F.greatest("tu", "tv").alias("ev")
@@ -206,17 +240,29 @@ def k_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
         # feeds the degree agg, the wedge join and the ledger — break
         # the lineage so it computes once (the kcore round convention)
-        .localCheckpoint(eager=False)
+        .transform(lambda df: materialize(df, eager=False))
     )
     frames = [e]
     supports = []
-    for _ in range(TRUSS_ROUNDS):
-        s = _support(frames[-1]).localCheckpoint(eager=False)
+    tri = None
+    for r in range(TRUSS_ROUNDS):
+        # r13 (guide §2.4): only round 0 pays the wedge enumeration;
+        # later rounds filter the materialized triangle frame down to
+        # the triangles whose edges survived (see _surviving_triangles'
+        # equivalence note) instead of re-running degree + orientation +
+        # wedge join on the shrunken edge set.
+        tri = (
+            _triangles(frames[-1])
+            if r == 0
+            else materialize(_surviving_triangles(tri, frames[-1]), eager=False)
+        )
+        s = materialize(_support_from(frames[-1], tri), eager=False)
         supports.append(s)
         frames.append(
-            s.filter(F.col("support") >= TRUSS_K - 2)
-            .select("u", "v")
-            .localCheckpoint(eager=False)
+            materialize(
+                s.filter(F.col("support") >= TRUSS_K - 2).select("u", "v"),
+                eager=False,
+            )
         )
 
     summaries = []

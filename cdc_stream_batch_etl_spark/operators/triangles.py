@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize
 from ..registry import register
 from .basket import MIN_SUPPORT, _baskets, _pairs_from
 from .pagerank import _PAIRS_SQL
@@ -100,7 +101,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
         # both orientation legs (da, db) consume deg — compute it once
-        .localCheckpoint(eager=False)
+        .transform(lambda df: materialize(df, eager=False))
     )
     da = deg.select(F.col("node").alias("part_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("part_b"), F.col("deg").alias("deg_b"))
@@ -136,7 +137,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(closing, ["v", "w"])  # closure edge exists → triangle
         # lineage break (r12): the 3-leg member union below consumes tri
         # once per leg — without this the wedge join itself ran 3x
-        .localCheckpoint(eager=False)
+        .transform(lambda df: materialize(df, eager=False))
     )
     members = (
         tri.select(F.col("u").alias("part_key"))
