@@ -115,6 +115,50 @@ FROM assign GROUP BY cell
 """
 
 
+#: scan-local argmax over the broadcast centroid array: fold the
+#: struct(d, cid) lexicographic max (exactly F.max(F.struct(d, cid))'s
+#: ordering — doubles compared IEEE, ties to the larger cid; cid is
+#: unique so exact (d, cid) duplicates cannot occur and the fold is
+#: order-independent) with the SAME index-ordered dot fold per centroid.
+_ARGMAX_CELL = (
+    "aggregate(cents, cast(null as struct<d: double, cid: bigint>), "
+    "(acc, c) -> CASE WHEN acc IS NULL THEN "
+    "named_struct('d', {dot}, 'cid', c.cid) "
+    "WHEN named_struct('d', {dot}, 'cid', c.cid) > acc THEN "
+    "named_struct('d', {dot}, 'cid', c.cid) "
+    "ELSE acc END).cid"
+).format(
+    dot="aggregate(zip_with(emb, c.cemb, (x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+)
+
+
+def _with_cell(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Annotate every (vec_id, emb, ...) row with its nearest-centroid
+    cell WITHOUT the N×K row explosion.
+
+    r13 (guide §2.4 — remove shuffles outright; the r12 verdict's
+    semantic_cell_stats inverse-scaling item): the old shape exploded N×K
+    rows through a crossJoin and re-collapsed them with a
+    groupBy(vec_id, emb) hash agg whose GROUP KEY was the 64-double
+    embedding array — a full shuffle of N×K wide rows plus array-keyed
+    hash tables that degraded super-linearly with task count (driver
+    bench: 7.1 s at 32 cores vs 0.8 s at 8 for the same query). The K
+    centroids are instead folded into ONE broadcast array row and each
+    vector picks argmax scan-locally — same K interpreted dot folds per
+    row, zero assignment shuffle, partition-count-independent. The fold
+    replicates max(struct(d, cid)) ordering exactly (see _ARGMAX_CELL),
+    so the assignment is bit-identical."""
+    cents = cent.agg(
+        F.collect_list(F.struct("cid", "cemb")).alias("cents")
+    )
+    return (
+        fan_out(e)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cell", F.expr(_ARGMAX_CELL))
+        .drop("cents")
+    )
+
+
 @register("semantic_cell_stats", oracle=_CELL_STATS_ORACLE)
 def semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap observability for semantic_dedup (the lsh_bucket_stats
@@ -124,15 +168,7 @@ def semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     cent = centroids(e)
-    # fan_out: the N x K interpreted dot folds of the assignment
-    # otherwise run inside the one scan task of a single-row-group input
-    assign = (
-        fan_out(e).crossJoin(F.broadcast(cent))
-        .withColumn("d", _dot("emb", "cemb"))
-        .groupBy("vec_id", "emb")
-        .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))
-        .select("vec_id", F.col("top.cid").alias("cell"))
-    )
+    assign = _with_cell(e, cent).select("vec_id", "cell")
     n = F.count("*")
     return assign.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
         n.alias("n_cell"),
@@ -153,19 +189,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    # fan_out: the N x K interpreted dot folds of the assignment
-    # otherwise run inside the one scan task of a single-row-group input
+    # r13: scan-local argmax assignment (see _with_cell) — no N x K
+    # explode, no array-keyed groupBy shuffle
     assign = (
-        fan_out(e).crossJoin(F.broadcast(cent))
-        .withColumn("d", _dot("emb", "cemb"))
-        .groupBy("vec_id", "emb", "nrm")
-        .agg(F.max(F.struct(F.col("d"), F.col("cid"))).alias("top"))
-        .select("vec_id", "emb", "nrm", F.col("top.cid").alias("cell"))
+        _with_cell(e, cent)
+        .select("vec_id", "emb", "nrm", "cell")
         # rank INSIDE the checkpoint: both pair sides and the annotation
-        # join read the same materialized rows, so the N x K assignment
-        # AND the cell-ranking window each run exactly once (a window
-        # after the checkpoint would re-shuffle the embedding arrays once
-        # per consumer — measured 4x slower at the x8 probe scale)
+        # join read the same materialized rows, so the assignment AND the
+        # cell-ranking window each run exactly once (a window after the
+        # checkpoint would re-shuffle the embedding arrays once per
+        # consumer — measured 4x slower at the x8 probe scale)
         .withColumn("rk", F.row_number().over(Window.partitionBy("cell").orderBy("vec_id")))
         .localCheckpoint(eager=False)
     )
