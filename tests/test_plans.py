@@ -533,3 +533,32 @@ def test_split_leakage_adds_no_join_to_pairs(spark, sf_dir):
     audit = _plan(split_leakage_report(spark, sf_dir), "simple")
     assert audit.count("Scan parquet") == base.count("Scan parquet")
     assert audit.count("Join") == base.count("Join")
+
+
+def test_lsh_family_single_shingle_materialization(spark, sf_dir):
+    """r12 ADVICE: the LSH-family plan budgets dropped to 0 scans once
+    the shingle frame became a checkpoint, so a regression that re-adds
+    an upstream documents scan (or a second shingling pass) would be
+    invisible to test_plan_budgets. Assert the runtime-reuse property
+    directly, the test_triangles_reuse_cached_graph_frames pattern:
+    after construction, every shingle consumer in minhash_lsh_pairs and
+    lsh_recall_eval reads the ONE checkpointed (doc_id, shingles[,
+    hshingles]) frame — Scan ExistingRDD legs, zero parquet scans of
+    documents anywhere in the consuming plan."""
+    from cdc_stream_batch_etl_spark.dedup.lsh_eval import lsh_recall_eval
+    from cdc_stream_batch_etl_spark.dedup.minhash import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    plan = _plan(pairs, "simple")
+    # band table + both verification sides
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+    assert "Scan parquet" not in plan, plan
+
+    ev = lsh_recall_eval(spark, sf_dir)
+    plan = _plan(ev, "simple")
+    # truth leg (3 exploded-shingle consumers) + LSH leg (3) all read
+    # the one materialization; a second shingling would re-introduce a
+    # parquet scan of documents
+    assert plan.count("Scan ExistingRDD") >= 6, plan
+    assert "Scan parquet" not in plan, plan
+    spark.catalog.clearCache()
