@@ -19,32 +19,28 @@ survivor set (smaller corpus, same plan as minhash_lsh_pairs); the final
 prune is a broadcast anti-join against the (tiny) removed-id set.
 
 Survivor materialization: composed over lineage, the survivor set is
-re-derived by every consumer — 12 document scans in the full plan. At
-bench scale recompute is measured-cheaper than caching (persist()
-regressed 19→30 s locally), so the default recomputes; at cluster scale
-re-scanning + re-shingling the corpus ~4× dominates, so
-``materialize_survivors=True`` (or env SPARK_GRAFT_SCALE=1) truncates
-lineage at the exact-dedup survivor set with localCheckpoint — every
-downstream consumer then reads the materialized partitions instead of
-re-deriving them from parquet.
+re-derived by every consumer. The default is now ON (r13): the early
+measurement that favored recompute (persist() regressed 19→30 s)
+predated the LSH shingle checkpoint, after which only TWO consumers
+remain (the shingle fill and the final anti-join) and the interleaved
+A/B at sf0.1 favors materializing (min 3.17 s vs 5.36 s). At cluster
+scale re-scanning + re-gating the corpus per consumer dominates even
+more; SPARK_GRAFT_MATERIALIZE selects the scale-safe materialization
+backend (functions/materialize.py).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..dedup.minhash import lsh_pairs, pairs_oracle_sql
+from ..functions.materialize import materialize
 from ..registry import register
 
 MIN_TOKENS = 20
 
-
-def _scale_mode_default() -> bool:
-    return os.environ.get("SPARK_GRAFT_SCALE", "") == "1"
 
 _ORACLE = f"""
 WITH gated AS (
@@ -79,7 +75,15 @@ def clean_corpus(
     spark: SparkSession, sf_dir: str, materialize_survivors: bool | None = None
 ) -> DataFrame:
     if materialize_survivors is None:
-        materialize_survivors = _scale_mode_default()
+        # r13: default ON. The survivor frame is consumed by lsh_pairs'
+        # shingle fill AND the final anti-join; unmaterialized, the
+        # regex language gates + md5 keep-join re-ran per consumer.
+        # A/B at sf0.1 (interleaved, same JVM): materialized min 3.17 s
+        # vs 5.36 s unmaterialized; curated_training_set inherits.
+        # (The old default deferred to SPARK_GRAFT_SCALE=1 — that
+        # predated the r12/r13 LSH checkpoint reshape, after which the
+        # un-broken lineage is re-derived from parquet per consumer.)
+        materialize_survivors = True
     docs = load_table(spark, sf_dir, "documents")
 
     n_tokens = F.size(F.split(F.col("text"), " "))
@@ -103,7 +107,7 @@ def clean_corpus(
         # truncate lineage: lsh_pairs consumes the survivors twice
         # (banding + verification) and the final anti-join a third time —
         # without this each consumer re-scans + re-gates the corpus
-        exact = exact.localCheckpoint()
+        exact = materialize(exact)
 
     removed = lsh_pairs(exact.select("doc_id", "text")).select("doc_b").distinct()
     return exact.join(

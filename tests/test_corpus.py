@@ -33,18 +33,18 @@ def test_clean_corpus_invariants(spark, sf_dir):
 
 
 def test_clean_corpus_scale_mode_identical_and_fewer_scans(spark, sf_dir):
-    """materialize_survivors=True (the 100 TB flag) must be value-identical
-    to the default recompute path, with the corpus scan count collapsed."""
+    """materialize_survivors (the r13 default) must be value-identical
+    to the recompute path, with the corpus scan count collapsed."""
     from cdc_stream_batch_etl_spark.plans.inspect import profile
 
-    default = clean_corpus(spark, sf_dir)
-    scale = clean_corpus(spark, sf_dir, materialize_survivors=True)
-    assert scale.exceptAll(default).count() == 0
-    assert default.exceptAll(scale).count() == 0
+    recompute = clean_corpus(spark, sf_dir, materialize_survivors=False)
+    default = clean_corpus(spark, sf_dir)  # r13: materializes
+    assert default.exceptAll(recompute).count() == 0
+    assert recompute.exceptAll(default).count() == 0
 
-    p_default, p_scale = profile(default), profile(scale)
-    assert p_scale.scans <= 6  # survivors checkpointed, consumers reuse
-    assert p_scale.scans < p_default.scans
+    p_recompute, p_default = profile(recompute), profile(default)
+    assert p_default.scans <= 6  # survivors checkpointed, consumers reuse
+    assert p_default.scans < p_recompute.scans
 
 
 def test_gate_funnel_consistent_with_clean_corpus(spark, sf_dir):
