@@ -103,7 +103,16 @@ def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python ``round`` is banker's). Scale posture unchanged: this is the
     DECLARED quadratic recall yardstick for ``embed_near_dup_lsh``; the
     rewrite changes the constant (interpreted lambda → native vectorized),
-    not the asymptote."""
+    not the asymptote.
+
+    Side-load read multiplier (r12 verdict note): EVERY task re-reads the
+    whole embeddings parquet, so the file is read n_parts times per run
+    (32× on local[32]) — O(N·dim) bytes per task × n_parts tasks, the
+    same order the old plan shipped as its broadcast side, but now as
+    storage reads instead of one driver-mediated broadcast. Fine while
+    the matrix is broadcast-sized (~1 MB at sf0.1); at a scale where
+    N·dim stops being broadcast-sized this whole query is the wrong tool
+    (that is what the LSH path is for)."""
     emb = load_table(spark, sf_dir, "embeddings")
     path = f"{sf_dir}/embeddings.parquet"
     n_parts = spark.sparkContext.defaultParallelism

@@ -454,7 +454,11 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     for ci in range(3):
         plane = padded[..., ci] - 128.0
         blocks = _to_blocks(plane)
-        coeffs = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+        # r13 (guide §4.2): matmul chains hit BLAS; the plain einsum
+        # spelling ran an unoptimized C loop (~40% of the round trip).
+        # FP summation order changes are tolerance-gated (test_jpeg
+        # PSNR/max-error); no oracled column derives from pixel values.
+        coeffs = (_DCT @ blocks) @ _DCT.T
         qt = qt_l if ci == 0 else qt_c
         quant = np.round(coeffs / qt).astype(np.int32)
         comp_coeffs.append(quant.reshape(-1, 64)[:, _ZIGZAG])
@@ -688,7 +692,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         coeffs = np.zeros((n_blocks, 64), dtype=np.float64)
         coeffs[:, _ZIGZAG] = planes[cid]  # inverse zigzag
         blocks = coeffs.reshape(-1, 8, 8) * qt
-        spatial = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT)
+        spatial = (_DCT.T @ blocks) @ _DCT  # r13: BLAS matmul (see encode)
         out[..., idx] = _from_blocks(spatial, h8, w8) + 128.0
     return _ycbcr_to_rgb(out)[:h, :w]
 

@@ -101,12 +101,15 @@ def test_spearman_doubled_midranks_sum_identity(spark, sf_dir):
     from cdc_stream_batch_etl_spark.operators.spearman import _rank_map
 
     li = load_table(spark, sf_dir, "lineitem")
+    # r13: _rank_map runs on the melted all-pairs joint — the pair id
+    # column is part of its contract (windows partition by it)
     joint = (
         li.select(
+            F.lit(0).alias("p"),
             F.expr(_VARS["quantity"]).alias("gx"),
             F.expr(_VARS["discount"]).alias("gy"),
         )
-        .groupBy("gx", "gy")
+        .groupBy("p", "gx", "gy")
         .agg(F.count("*").alias("c"))
     )
     m = _rank_map(joint, "gx").agg(
